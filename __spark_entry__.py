@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (the full validation-suite verdict
+table) on sf0.001. `queries()` exposes each implemented check/operator;
+`oracle_sql()` gives the DuckDB-equivalent SQL. The transcript table both
+sides validate is derived deterministically from the pre-registered
+`lineitem`/`orders` views by ONE shared-dialect SQL template
+(matric_spark/sources/transcripts_view.py), so Spark and DuckDB see
+byte-identical inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +14,275 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matric_spark.checks.column_stats import column_stats
+from matric_spark.checks.drift import ks_by_partition, psi_by_partition
+from matric_spark.checks.referential import domain_violations
+from matric_spark.checks.sequence import conversation_shape, out_of_order_turns
+from matric_spark.checks.uniqueness import duplicate_keys
+from matric_spark.checks.suite import SuiteConfig, run_verdicts
+from matric_spark.schema import DEFAULT_ROLE_DOMAIN, DEFAULT_TOOL_DOMAIN
+from matric_spark.sources.transcripts_view import TRANSCRIPT_VIEW_SQL, transcript_df
+
+_T = f"WITH transcripts AS ({TRANSCRIPT_VIEW_SQL})"
+_ROLES = ", ".join(f"'{r}'" for r in DEFAULT_ROLE_DOMAIN)
+_TOOLS = ", ".join(f"'{t}'" for t in DEFAULT_TOOL_DOMAIN)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full constraint-suite verdicts on sf0.001."""
+    t = transcript_df(spark, "/root/testdata/sf0.001")
+    return run_verdicts(t, SuiteConfig())
+
+
+def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+    return df
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    out = column_stats(
+        t,
+        "part_month",
+        columns=["text", "tool", "ts", "turn_idx"],
+        distinct_cols=["conv_id"],
+        exact_distinct=True,
+    )
+    return _round6(
+        out,
+        ["text_null_rate", "tool_null_rate", "ts_null_rate", "turn_idx_null_rate",
+         "text_avg_len", "tool_avg_len", "turn_idx_mean"],
+    )
+
+
+def q_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    return duplicate_keys(t, ["conv_id", "turn_idx"], strategy="salted")
+
+
+def q_ref_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    return domain_violations(t, "role", DEFAULT_ROLE_DOMAIN, nulls_ok=False).select(
+        "conv_id", "turn_idx", "role", "part_month"
+    )
+
+
+def q_ref_tool_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    return domain_violations(t, "tool", DEFAULT_TOOL_DOMAIN, nulls_ok=True).select(
+        "conv_id", "turn_idx", "tool", "part_month"
+    )
+
+
+def q_conversation_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    return conversation_shape(t)
+
+
+def q_seq_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    return out_of_order_turns(t).select("conv_id", "turn_idx", "ts", "part_month")
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    out = ks_by_partition(t, "part_month", F.length("text"))
+    return _round6(out, ["ks_d", "ks_p"])
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    out = psi_by_partition(t, "part_month", F.length("text"))
+    return _round6(out, ["psi"])
+
+
+def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir)
+    return _round6(run_verdicts(t, SuiteConfig()), ["metric"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "colstats": q_colstats,
+        "uniqueness_keys": q_uniqueness_keys,
+        "ref_role_violations": q_ref_role_violations,
+        "ref_tool_violations": q_ref_tool_violations,
+        "conversation_shape": q_conversation_shape,
+        "seq_out_of_order": q_seq_out_of_order,
+        "drift_ks": q_drift_ks,
+        "drift_psi": q_drift_psi,
+        "verdicts": q_verdicts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------- oracle SQL
+
+_KS_CTES = """
+cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
+        FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT p, CAST(sum(c) AS BIGINT) np FROM cnt GROUP BY 1),
+tot AS (SELECT v, CAST(sum(c) AS BIGINT) ct FROM cnt GROUP BY 1),
+ntot AS (SELECT CAST(sum(np) AS BIGINT) n_total FROM parts),
+grid AS (SELECT parts.p, parts.np, tot.v, tot.ct FROM parts CROSS JOIN tot),
+jj AS (SELECT g.p, g.np, g.v, g.ct, COALESCE(cnt.c, 0) c, ntot.n_total
+       FROM grid g LEFT JOIN cnt ON cnt.p = g.p AND cnt.v = g.v CROSS JOIN ntot),
+cum AS (SELECT p, np, n_total,
+               sum(c)  OVER (PARTITION BY p ORDER BY v) cum_c,
+               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t
+        FROM jj),
+ks AS (SELECT p, np AS n_part, n_total - np AS n_rest,
+              max(abs(CAST(cum_c AS DOUBLE) / np
+                      - CAST(cum_t - cum_c AS DOUBLE) / (n_total - np))) ks_d
+       FROM cum GROUP BY p, np, n_total)
+"""
+
+# assumes the `cnt` and `parts` CTEs from _KS_CTES are already in scope
+_PSI_FROM_CNT = """
+bcnt AS (SELECT p, least(CAST(floor(v / 50.0) AS BIGINT), CAST(19 AS BIGINT)) b,
+                CAST(sum(c) AS BIGINT) c
+         FROM cnt GROUP BY 1, 2),
+btot AS (SELECT b, CAST(sum(c) AS BIGINT) ct FROM bcnt GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS BIGINT) n_b, CAST(sum(ct) AS BIGINT) n_total FROM btot),
+bgrid AS (SELECT parts.p, parts.np, btot.b, btot.ct FROM parts CROSS JOIN btot),
+bj AS (SELECT g.p, g.np, g.b, g.ct, COALESCE(bcnt.c, 0) c, nb.n_b, nb.n_total
+       FROM bgrid g LEFT JOIN bcnt ON bcnt.p = g.p AND bcnt.b = g.b CROSS JOIN nb),
+psi AS (SELECT p, np AS n_part,
+               sum(((c + 0.5) / (np + 0.5 * n_b)
+                    - (ct - c + 0.5) / ((n_total - np) + 0.5 * n_b))
+                   * ln(((c + 0.5) / (np + 0.5 * n_b))
+                        / ((ct - c + 0.5) / ((n_total - np) + 0.5 * n_b)))) psi
+        FROM bj GROUP BY p, np)
+"""
+
+_OOO_SQL = """
+SELECT part_month AS part, CAST(count(*) AS BIGINT) seq_order FROM (
+    SELECT part_month, ts,
+           max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_max
+    FROM transcripts) x
+WHERE ts < prev_max GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["colstats"] = f"""{_T}
+SELECT part_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
+       round(sum(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS text_null_rate,
+       round(avg(length(text)), 6) AS text_avg_len,
+       CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_nulls,
+       round(sum(CASE WHEN tool IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS tool_null_rate,
+       round(avg(length(tool)), 6) AS tool_avg_len,
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+       round(sum(CASE WHEN ts IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS ts_null_rate,
+       min(ts) AS ts_min, max(ts) AS ts_max,
+       CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS turn_idx_nulls,
+       round(sum(CASE WHEN turn_idx IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS turn_idx_null_rate,
+       min(turn_idx) AS turn_idx_min, max(turn_idx) AS turn_idx_max,
+       round(avg(turn_idx), 6) AS turn_idx_mean,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS conv_id_distinct
+FROM transcripts GROUP BY part_month"""
+
+    sql["uniqueness_keys"] = f"""{_T}
+SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_dup
+FROM transcripts GROUP BY 1, 2 HAVING count(*) > 1"""
+
+    sql["ref_role_violations"] = f"""{_T}
+SELECT conv_id, turn_idx, role, part_month
+FROM transcripts WHERE role IS NULL OR role NOT IN ({_ROLES})"""
+
+    sql["ref_tool_violations"] = f"""{_T}
+SELECT conv_id, turn_idx, tool, part_month
+FROM transcripts WHERE tool IS NOT NULL AND tool NOT IN ({_TOOLS})"""
+
+    sql["conversation_shape"] = f"""{_T}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_keys,
+       min(turn_idx) AS min_turn, max(turn_idx) AS max_turn,
+       count(*) <> count(DISTINCT turn_idx) AS has_dup,
+       (min(turn_idx) = 0 AND max(turn_idx) = count(DISTINCT turn_idx) - 1
+        AND count(*) = count(DISTINCT turn_idx)) AS is_contiguous
+FROM transcripts GROUP BY conv_id"""
+
+    sql["seq_out_of_order"] = f"""{_T}
+SELECT conv_id, turn_idx, ts, part_month FROM (
+    SELECT conv_id, turn_idx, ts, part_month,
+           max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_max
+    FROM transcripts) x
+WHERE ts < prev_max"""
+
+    sql["drift_ks"] = f"""{_T},
+{_KS_CTES}
+SELECT p AS part_month, n_part, n_rest, round(ks_d, 6) AS ks_d,
+       round(least(1.0, greatest(0.0,
+           2.0 * (exp(-2.0 * ne * ks_d * ks_d)
+                  - exp(-8.0 * ne * ks_d * ks_d)
+                  + exp(-18.0 * ne * ks_d * ks_d)))), 6) AS ks_p
+FROM (SELECT *, CAST(n_part AS DOUBLE) * n_rest / (n_part + n_rest) AS ne FROM ks) y"""
+
+    sql["drift_psi"] = f"""{_T},
+cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
+        FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT p, CAST(sum(c) AS BIGINT) np FROM cnt GROUP BY 1),
+{_PSI_FROM_CNT}
+SELECT p AS part_month, n_part, round(psi, 6) AS psi FROM psi"""
+
+    sql["verdicts"] = f"""{_T},
+scalar AS (
+  SELECT part_month AS part,
+         CAST(sum(CASE WHEN role IS NULL OR role NOT IN ({_ROLES}) THEN 1 ELSE 0 END) AS BIGINT) ref_role,
+         CAST(sum(CASE WHEN tool IS NOT NULL AND tool NOT IN ({_TOOLS}) THEN 1 ELSE 0 END) AS BIGINT) ref_tool,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_text,
+         CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_ts
+  FROM transcripts GROUP BY 1),
+dupk AS (SELECT conv_id, turn_idx FROM transcripts GROUP BY 1, 2 HAVING count(*) > 1),
+uniq AS (SELECT t.part_month AS part, CAST(count(*) AS BIGINT) uniqueness
+         FROM transcripts t JOIN dupk USING (conv_id, turn_idx) GROUP BY 1),
+ooo AS ({_OOO_SQL}),
+{_KS_CTES},
+{_PSI_FROM_CNT},
+wide AS (
+  SELECT s.part, s.ref_role, s.ref_tool, s.null_text, s.null_ts,
+         COALESCE(u.uniqueness, 0) uniqueness, COALESCE(o.seq_order, 0) seq_order,
+         ks.ks_d, psi.psi
+  FROM scalar s
+  LEFT JOIN uniq u ON u.part = s.part
+  LEFT JOIN ooo o ON o.part = s.part
+  LEFT JOIN ks ON ks.p = s.part
+  LEFT JOIN psi ON psi.p = s.part)
+SELECT part, 'ref_role' AS check_id, round(CAST(ref_role AS DOUBLE), 6) AS metric,
+       CASE WHEN ref_role > 0 THEN 'fail' ELSE 'pass' END AS status FROM wide
+UNION ALL
+SELECT part, 'ref_tool', round(CAST(ref_tool AS DOUBLE), 6),
+       CASE WHEN ref_tool > 0 THEN 'fail' ELSE 'pass' END FROM wide
+UNION ALL
+SELECT part, 'null_text', round(CAST(null_text AS DOUBLE), 6),
+       CASE WHEN null_text > 0 THEN 'fail' ELSE 'pass' END FROM wide
+UNION ALL
+SELECT part, 'null_ts', round(CAST(null_ts AS DOUBLE), 6),
+       CASE WHEN null_ts > 0 THEN 'fail' ELSE 'pass' END FROM wide
+UNION ALL
+SELECT part, 'uniqueness', round(CAST(uniqueness AS DOUBLE), 6),
+       CASE WHEN uniqueness > 0 THEN 'fail' ELSE 'pass' END FROM wide
+UNION ALL
+SELECT part, 'seq_order', round(CAST(seq_order AS DOUBLE), 6),
+       CASE WHEN seq_order > 0 THEN 'fail' ELSE 'pass' END FROM wide
+UNION ALL
+SELECT part, 'drift_ks', round(ks_d, 6),
+       CASE WHEN ks_d > 0.15 THEN 'fail' ELSE 'pass' END FROM wide
+UNION ALL
+SELECT part, 'drift_psi', round(psi, 6),
+       CASE WHEN psi > 0.25 THEN 'fail' ELSE 'pass' END FROM wide"""
+
+    return sql

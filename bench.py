@@ -1,0 +1,59 @@
+"""Benchmark harness: runs the headline validation queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Execution is fully materialized via the noop sink (no driver collect).
+The headline metric is wall seconds for the full constraint-suite verdict
+pass; `turns_per_sec` derives the north-rule throughput number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as e
+    from matric_spark.session import get_spark
+    from matric_spark.sources.transcripts_view import transcript_df
+
+    spark = get_spark(app_name="matric_spark_bench")
+
+    t = transcript_df(spark, sf_dir)
+    n_turns = t.count()  # also warms the JVM/scan path
+
+    qs = e.queries()
+    times: dict[str, float] = {}
+    for name, fn in qs.items():
+        times[name] = round(run_once(fn(spark, sf_dir)), 3)
+
+    total = round(sum(times.values()), 3)
+    verdict_s = times.get("verdicts", total)
+    out = {
+        "metric": "full_constraint_suite_sec",
+        "value": verdict_s,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / verdict_s, 1) if verdict_s else None,
+        "total_sec": total,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Uniqueness constraint on a composite key, skew-safe.
+
+Reference lineage: matric deduplicates pairs before fan-out joins
+(``distinct`` at R/sim_calculate.R:293-299 and :396-399) because duplicate
+keys multiply downstream inner joins. Here uniqueness on
+``(conv_id, turn_idx)`` is a first-class constraint with materialized
+violation rows.
+
+Scale notes: Spark's hash aggregate is already two-phase (map-side partial
+combine → shuffle → final), which handles *value* skew in the count. The
+explicit salted variant additionally spreads the FINAL aggregation of a
+pathologically hot key across ``n_salt`` reducers — needed when one key
+occurs so often that even partial counts flood one reducer's hash table
+(e.g. a crawler bug repeating one (conv_id, turn_idx) billions of times).
+``strategy='direct'`` and ``'salted'`` are differential-tested equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(
+    df: DataFrame,
+    key: list[str],
+    strategy: str = "salted",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Keys occurring more than once → DataFrame[*key, n_dup long]."""
+    if strategy == "direct":
+        counts = df.groupBy(*key).agg(F.count(F.lit(1)).alias("n_dup"))
+    elif strategy == "salted":
+        # Salt by physical input split: duplicate rows of one hot key sit
+        # in many splits, so partial counts land on n_salt distinct
+        # reducers before the (tiny) second-phase re-aggregation.
+        partial = (
+            df.withColumn("_salt", F.spark_partition_id() % n_salt)
+            .groupBy(*key, "_salt")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        counts = partial.groupBy(*key).agg(F.sum("_c").alias("n_dup"))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return counts.filter(F.col("n_dup") > 1)
+
+
+def uniqueness_violations(
+    df: DataFrame,
+    key: list[str],
+    strategy: str = "salted",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Materialized violating rows: every input row whose key collides.
+
+    left_semi join against the duplicate-key set; with few violations AQE
+    converts this to a broadcast semi-join at runtime.
+    """
+    dups = duplicate_keys(df, key, strategy=strategy, n_salt=n_salt)
+    return df.join(dups.select(*key), on=key, how="left_semi")

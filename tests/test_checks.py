@@ -1,0 +1,128 @@
+"""Closed-form unit tests for the validation suite (the graft analog of
+the reference's tiny hand-built populations with known answers,
+tests/testthat/test-sim_calculate.R:5-103)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matric_spark.checks.column_stats import column_stats
+from matric_spark.checks.drift import ks_by_partition, psi_by_partition, _counts
+from matric_spark.checks.referential import domain_violations
+from matric_spark.checks.sequence import conversation_shape, out_of_order_turns, text_parity
+from matric_spark.checks.suite import SuiteConfig, run_verdicts
+from matric_spark.checks.uniqueness import duplicate_keys, uniqueness_violations
+from matric_spark.schema import DEFAULT_ROLE_DOMAIN, DEFAULT_TOOL_DOMAIN
+
+
+def test_column_stats(tiny_transcripts):
+    out = {
+        r["part_month"]: r
+        for r in column_stats(
+            tiny_transcripts, "part_month", columns=["text", "tool"],
+            distinct_cols=["conv_id"], exact_distinct=True,
+        ).collect()
+    }
+    assert out[1]["n_rows"] == 8
+    assert out[1]["text_nulls"] == 1
+    assert out[1]["text_null_rate"] == pytest.approx(1 / 8)
+    assert out[1]["conv_id_distinct"] == 2
+    assert out[2]["n_rows"] == 2
+    assert out[2]["text_nulls"] == 0
+    assert out[2]["tool_nulls"] == 1
+
+
+def test_uniqueness_direct_equals_salted(tiny_transcripts):
+    key = ["conv_id", "turn_idx"]
+    direct = sorted(map(tuple, duplicate_keys(tiny_transcripts, key, "direct").collect()))
+    salted = sorted(map(tuple, duplicate_keys(tiny_transcripts, key, "salted").collect()))
+    assert direct == salted == [("B", 1, 2)]
+    rows = uniqueness_violations(tiny_transcripts, key).collect()
+    assert len(rows) == 2 and all(r["conv_id"] == "B" and r["turn_idx"] == 1 for r in rows)
+
+
+def test_referential(tiny_transcripts):
+    bad_role = domain_violations(tiny_transcripts, "role", DEFAULT_ROLE_DOMAIN, nulls_ok=False).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in bad_role] == [("C", 0)]
+    bad_tool = domain_violations(tiny_transcripts, "tool", DEFAULT_TOOL_DOMAIN, nulls_ok=True).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in bad_tool] == [("C", 2)]
+    # nulls_ok=False also reports every NULL tool
+    n_null_tool = tiny_transcripts.filter(F.col("tool").isNull()).count()
+    assert (
+        len(domain_violations(tiny_transcripts, "tool", DEFAULT_TOOL_DOMAIN, nulls_ok=False).collect())
+        == 1 + n_null_tool
+    )
+
+
+def test_conversation_shape(tiny_transcripts):
+    out = {r["conv_id"]: r for r in conversation_shape(tiny_transcripts).collect()}
+    assert out["A"]["is_contiguous"] and not out["A"]["has_dup"]
+    assert out["B"]["has_dup"] and not out["B"]["is_contiguous"]
+    assert out["B"]["n_turns"] == 5 and out["B"]["n_keys"] == 4
+    assert not out["C"]["is_contiguous"] and out["C"]["min_turn"] == 0 and out["C"]["max_turn"] == 2
+
+
+def test_out_of_order(tiny_transcripts):
+    rows = out_of_order_turns(tiny_transcripts).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in rows] == [("B", 2)]
+
+
+def test_text_parity(spark, tiny_transcripts):
+    ref = tiny_transcripts
+    assert text_parity(tiny_transcripts, ref).count() == 0
+    mutated = tiny_transcripts.withColumn(
+        "text", F.when((F.col("conv_id") == "A") & (F.col("turn_idx") == 1), "HI").otherwise(F.col("text"))
+    )
+    bad = text_parity(mutated, ref).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in bad] == [("A", 1)]
+
+
+def test_ks_two_identical_cohorts(spark):
+    # identical length distributions in both partitions -> D = 0
+    rows = [(p, "x" * (i % 5 + 1)) for p in (1, 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "part int, text string")
+    out = ks_by_partition(df, "part", F.length("text")).collect()
+    assert all(r["ks_d"] == pytest.approx(0.0) for r in out)
+    assert all(r["ks_p"] == pytest.approx(1.0) for r in out)
+
+
+def test_ks_disjoint_cohorts(spark):
+    # completely disjoint supports -> D = 1
+    rows = [(1, "x" * 2)] * 30 + [(2, "x" * 50)] * 30
+    df = spark.createDataFrame(rows, "part int, text string")
+    out = {r["part"]: r for r in ks_by_partition(df, "part", F.length("text")).collect()}
+    assert out[1]["ks_d"] == pytest.approx(1.0)
+    assert out[2]["ks_d"] == pytest.approx(1.0)
+    assert out[1]["ks_p"] < 1e-6
+
+
+def test_psi_identical_is_zero(spark):
+    rows = [(p, "x" * (60 * (i % 4))) for p in (1, 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "part int, text string")
+    out = psi_by_partition(df, "part", F.length("text")).collect()
+    assert all(abs(r["psi"]) < 1e-12 for r in out)
+
+
+def test_psi_precomputed_equals_standalone(tiny_transcripts):
+    cnt = _counts(tiny_transcripts, "part_month", F.length("text"))
+    a = sorted(map(tuple, psi_by_partition(tiny_transcripts, "part_month", F.length("text")).collect()))
+    b = sorted(map(tuple, psi_by_partition(
+        tiny_transcripts, "part_month", F.length("text"), precomputed=cnt).collect()))
+    assert a == pytest.approx(b)
+
+
+def test_verdicts(tiny_transcripts):
+    v = run_verdicts(tiny_transcripts, SuiteConfig()).collect()
+    status = {(r["part"], r["check_id"]): r["status"] for r in v}
+    metric = {(r["part"], r["check_id"]): r["metric"] for r in v}
+    # every partition appears for every check
+    assert len(v) == 2 * 8
+    assert status[(1, "uniqueness")] == "fail" and metric[(1, "uniqueness")] == 2
+    assert status[(2, "uniqueness")] == "pass"
+    assert status[(1, "ref_role")] == "pass"
+    assert status[(2, "ref_role")] == "fail"
+    assert status[(2, "ref_tool")] == "fail"
+    assert status[(1, "null_text")] == "fail" and status[(2, "null_text")] == "pass"
+    assert status[(1, "seq_order")] == "fail" and metric[(1, "seq_order")] == 1
+    assert status[(1, "null_ts")] == "pass" and status[(2, "null_ts")] == "pass"

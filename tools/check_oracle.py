@@ -1,0 +1,96 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir;
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime"):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            df[c] = s.astype(str).where(~s.isna(), "<NULL>")
+        elif str(s.dtype).startswith("float"):
+            df[c] = s.round(6)
+        elif str(s.dtype) in ("int32", "int64", "uint32", "uint64", "Int32", "Int64"):
+            df[c] = s.astype("int64")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, sp: pd.DataFrame, dk: pd.DataFrame) -> bool:
+    ok = True
+    if sorted(sp.columns) != sorted(dk.columns):
+        print(f"  [{name}] SCHEMA mismatch: spark={sorted(sp.columns)} duck={sorted(dk.columns)}")
+        return False
+    if len(sp) != len(dk):
+        print(f"  [{name}] ROWCOUNT mismatch: spark={len(sp)} duck={len(dk)}")
+        ok = False
+    a, b = canon(sp), canon(dk)
+    if len(a) == len(b):
+        for c in a.columns:
+            if a[c].dtype != b[c].dtype and not (
+                str(a[c].dtype).startswith("float") and str(b[c].dtype).startswith("float")
+            ):
+                try:
+                    b[c] = b[c].astype(a[c].dtype)
+                except (ValueError, TypeError):
+                    print(f"  [{name}] dtype mismatch col {c}: {a[c].dtype} vs {b[c].dtype}")
+                    ok = False
+                    continue
+            eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
+            if not eq.all():
+                i = (~eq).idxmax()
+                print(f"  [{name}] VALUE mismatch col {c}: {(~eq).sum()} rows, e.g. {a[c][i]!r} vs {b[c][i]!r}")
+                ok = False
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from matric_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oq = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        sp = fn(spark, sf_dir).toPandas()
+        t1 = time.time()
+        if name not in oq:
+            print(f"  [{name}] no oracle (rows-only): {len(sp)} rows, {t1-t0:.1f}s")
+            continue
+        dk = con.execute(oq[name]).fetch_df()
+        good = compare(name, sp, dk)
+        print(f"{'PASS' if good else 'FAIL'} {name}: {len(sp)} rows  spark={t1-t0:.1f}s duck={time.time()-t1:.1f}s")
+        if not good:
+            failures.append(name)
+    print("FAILURES:", failures or "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
