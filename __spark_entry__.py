@@ -107,6 +107,102 @@ def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(run_verdicts(t, SuiteConfig()), ["metric"])
 
 
+# ---- training-data pipeline ops (documents / embeddings tables) ----------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.text_analysis import doc_text_stats
+
+    return _round6(
+        doc_text_stats(_docs(spark, sf_dir)),
+        ["avg_token_len", "stopword_ratio", "punct_ratio", "quality"],
+    )
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.functions.text import LANG_MARKERS
+    from matric_spark.operators.text_analysis import doc_langid
+
+    return _round6(
+        doc_langid(_docs(spark, sf_dir)),
+        [f"score_{lang}" for lang in sorted(LANG_MARKERS)],
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.text_analysis import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.text_analysis import corpus_quality
+
+    return _round6(
+        corpus_quality(_docs(spark, sf_dir)),
+        ["avg_quality", "min_quality", "max_quality"],
+    )
+
+
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.dedup import exact_duplicates
+
+    t = transcript_df(spark, sf_dir).filter(F.col("text").isNotNull())
+    return exact_duplicates(t, "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.dedup import ngram_jaccard_pairs
+
+    return _round6(ngram_jaccard_pairs(_docs(spark, sf_dir), 0.1), ["jaccard"])
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.dedup import minhash_lsh_pairs
+
+    return _round6(minhash_lsh_pairs(_docs(spark, sf_dir), 0.1), ["jaccard"])
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.ann import embedding_near_dup
+
+    return _round6(embedding_near_dup(_emb(spark, sf_dir), 0.4), ["cosine"])
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH recall misses are inherent → no exact oracle (rows-only check);
+    # recall vs the exact variant is differential-tested in pytest.
+    from matric_spark.operators.ann import embedding_near_dup_lsh
+
+    return _round6(
+        embedding_near_dup_lsh(_emb(spark, sf_dir), 64, 0.4), ["cosine"]
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.ann import ann_topk_bruteforce
+
+    emb = _emb(spark, sf_dir)
+    return _round6(
+        ann_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5),
+        ["cosine"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats": q_colstats,
@@ -118,6 +214,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "drift_psi": q_drift_psi,
         "verdicts": q_verdicts,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "corpus_quality": q_corpus_quality,
+        "dedup_exact_text": q_dedup_exact_text,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -284,5 +391,26 @@ SELECT part, 'drift_ks', round(ks_d, 6),
 UNION ALL
 SELECT part, 'drift_psi', round(psi, 6),
        CASE WHEN psi > 0.25 THEN 'fail' ELSE 'pass' END FROM wide"""
+
+    # ---- training-data pipeline oracles (documents/embeddings views) ----
+    from matric_spark import duck_oracle as dk
+
+    sql["doc_text_stats"] = dk.doc_text_stats_sql()
+    sql["doc_langid"] = dk.doc_langid_sql()
+    sql["doc_fingerprint"] = dk.doc_fingerprint_sql()
+    sql["corpus_quality"] = dk.corpus_quality_sql()
+    sql["dedup_ngram_jaccard"] = dk.ngram_jaccard_sql(0.1)
+    sql["dedup_minhash_lsh"] = dk.minhash_lsh_sql(0.1)
+    sql["dedup_simhash"] = dk.simhash_pairs_sql(12)
+    sql["emb_near_dup"] = dk.embedding_near_dup_sql(0.4)
+    sql["ann_topk"] = dk.ann_topk_sql(5, 10)
+    # dedup_exact_text runs on the shared transcript view
+    norm = dk.NORM.format(col="text")
+    sql["dedup_exact_text"] = f"""{_T}
+SELECT {dk.hexbig(norm)} AS content_fp, CAST(count(*) AS BIGINT) AS n_dups
+FROM transcripts WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(*) > 1"""
+    # emb_near_dup_lsh: intentionally no oracle (LSH recall is
+    # probabilistic); covered by the rows-only check + pytest recall test.
 
     return sql

@@ -1,0 +1,271 @@
+"""DuckDB-dialect oracle SQL builders for the operator suite.
+
+Each builder returns SQL that recomputes the corresponding Spark operator
+bit-for-bit on the pre-registered parquet views (`documents`,
+`embeddings`, ...). Hash parity: Spark
+`cast(conv(substr(md5(x),1,15),16,10) as bigint)` == DuckDB
+`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`. MinHash/SimHash oracles are
+generated from the same parameter constants the Spark side uses
+(functions/hashing.py) and replicate the *full* algorithm including LSH
+banding — so even recall misses must match exactly.
+"""
+
+from __future__ import annotations
+
+from matric_spark.functions.hashing import HASH_PRIME, minhash_params
+from matric_spark.functions.text import LANG_MARKERS, STOPWORDS
+from matric_spark.operators.dedup import SIMHASH_BITS
+
+# shared fragments ---------------------------------------------------------
+
+NORM = r"regexp_replace(lower(trim({col})), '\s+', ' ', 'g')"
+TOKS = r"regexp_split_to_array(trim({col}), '\s+')"
+
+
+def hexbig(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _shingles(toks: str, n: int = 3) -> str:
+    """DuckDB list comprehension mirroring functions/hashing.word_shingles:
+    n-word space-joined shingles, whole-text fallback for short docs."""
+    return (
+        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len({toks}) - {n - 1}, 1) + 1)]"
+    )
+
+
+# text analysis ------------------------------------------------------------
+
+
+def doc_text_stats_sql() -> str:
+    toks = TOKS.format(col="text")
+    stop = _sql_list(STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) AS avg_token_len,
+         len(list_filter(toks, x -> list_contains({stop}, x))) / len(toks) AS stopword_ratio,
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) / length(text)
+         ELSE 0.0 END AS punct_ratio
+  FROM t)
+SELECT doc_id, n_tokens, n_chars,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(least(1.0, n_tokens / 50.0)
+             * (1.0 - abs(stopword_ratio - 0.2))
+             * (1.0 - least(0.5, punct_ratio)), 6) AS quality
+FROM m"""
+
+
+def doc_langid_sql() -> str:
+    toks = TOKS.format(col="text")
+    langs = sorted(LANG_MARKERS)
+    score_exprs = ",\n         ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_list(LANG_MARKERS[lang])}, x)))"
+        f" / CAST(len(toks) AS DOUBLE) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    rounded = ", ".join(f"round(score_{lang}, 6) AS score_{lang}" for lang in langs)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+         {score_exprs}
+      FROM t)
+SELECT doc_id, lang, {rounded}, CASE {case} END AS pred_lang FROM s"""
+
+
+def doc_fingerprint_sql(n: int = 3) -> str:
+    norm = NORM.format(col="text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {norm} AS norm FROM documents
+), s AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t)
+SELECT doc_id,
+       {hexbig('norm')} AS content_fp,
+       list_min(list_transform({_shingles('toks', n)},
+                               s -> {hexbig('s')})) AS min_shingle_fp
+FROM s"""
+
+
+def corpus_quality_sql() -> str:
+    toks = TOKS.format(col="text")
+    stop = _sql_list(STOPWORDS)
+    return f"""
+WITH t AS (SELECT lang, source, text, {toks} AS toks FROM documents),
+m AS (SELECT lang, source,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        least(1.0, len(toks) / 50.0)
+          * (1.0 - abs(len(list_filter(toks, x -> list_contains({stop}, x))) / len(toks) - 0.2))
+          * (1.0 - least(0.5, CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) / length(text)
+             ELSE 0.0 END)) AS quality
+      FROM t)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality,
+       round(min(quality), 6) AS min_quality,
+       round(max(quality), 6) AS max_quality
+FROM m GROUP BY lang, source"""
+
+
+# dedup --------------------------------------------------------------------
+
+_SHINGLE_SETS = """
+toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents),
+sets AS (
+  SELECT doc_id, {h} % {p} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({shingles})) AS sh FROM toks) u
+)"""
+
+
+def _shingle_sets_sql(n: int = 3) -> str:
+    return _SHINGLE_SETS.format(
+        norm=NORM.format(col="text"),
+        h=hexbig("sh"),
+        p=HASH_PRIME,
+        shingles=_shingles("t", n),
+    )
+
+
+_JACCARD_VERIFY = """
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sets GROUP BY 1),
+shared AS (
+  SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) shared
+  FROM cand c JOIN sets a ON a.doc_id = c.id1 JOIN sets b ON b.doc_id = c.id2 AND b.h = a.h
+  GROUP BY 1, 2),
+jac AS (
+  SELECT s.id1, s.id2, s.shared / CAST(x.n + y.n - s.shared AS DOUBLE) AS jaccard
+  FROM shared s JOIN sizes x ON x.doc_id = s.id1 JOIN sizes y ON y.doc_id = s.id2)"""
+
+
+def ngram_jaccard_sql(threshold: float = 0.1, n: int = 3) -> str:
+    return f"""
+WITH {_shingle_sets_sql(n)},
+cand AS (
+  SELECT DISTINCT a.doc_id id1, b.doc_id id2
+  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id),
+{_JACCARD_VERIFY}
+SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> str:
+    params = minhash_params(num_hashes, seed=seed)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_cols = ", ".join(
+        hexbig(
+            "concat_ws(',', "
+            + ", ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            + ")"
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_sets_sql(n)},
+sig AS (SELECT doc_id,
+         {mins}
+        FROM sets GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest(range({bands})) AS band_idx,
+         unnest([{band_cols}]) AS band_hash
+  FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc_id id1, y.doc_id id2
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id),
+{_JACCARD_VERIFY}
+SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
+
+
+def simhash_pairs_sql(max_hamming: int = 12, chunks: int = 4) -> str:
+    norm = NORM.format(col="text")
+    bit_sums = ",\n         ".join(
+        f"sum(CAST((th >> {j}) & 1 AS BIGINT) * 2 - 1) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    width = SIMHASH_BITS // chunks
+    chunk_cols = ", ".join(
+        f"(simhash >> {c * width}) & {(1 << width) - 1}" for c in range(chunks)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS tok FROM documents),
+th AS (SELECT doc_id, {hexbig('tok')} AS th FROM toks),
+bits AS (SELECT doc_id,
+         {bit_sums}
+        FROM th GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp} AS simhash FROM bits),
+chunked AS (
+  SELECT doc_id, simhash, unnest(range({chunks})) AS chunk_idx,
+         unnest([{chunk_cols}]) AS chunk_val
+  FROM fps)
+SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM chunked x JOIN chunked y
+  ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+ AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
+
+
+# embeddings ---------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    cos = _COS.format(a="a.v", b="b.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2, round({cos}, 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
+
+
+def ann_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    cos = _COS.format(a="q.qv", b="e.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < {n_queries}),
+s AS (SELECT q.qid, e.vec_id, {cos} AS cosine
+      FROM q CROSS JOIN e WHERE q.qid <> e.vec_id),
+r AS (SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""

