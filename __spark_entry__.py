@@ -203,6 +203,86 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- matric-parity sim suite (embeddings population) ---------------------
+
+
+def _population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.sources.population_view import population_df
+
+    return population_df(spark, sf_dir)
+
+
+def _collated_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.collate import sim_collate
+    from matric_spark.operators.pairs import attach_sim
+
+    pop = _population(spark, sf_dir)
+    coll = sim_collate(
+        pop,
+        reference=F.col("is_ref"),
+        all_same_cols_ref=["batch"],
+        all_same_cols_rep=["label"],
+        all_same_cols_non_rep=["batch"],
+        any_different_cols_non_rep=["label"],
+    )
+    return attach_sim(
+        coll, pop, kernel="cosine", vec_col="embedding", keep_cols=["type"]
+    )
+
+
+def _level10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.metrics import sim_annotate, sim_metrics
+
+    sims = _collated_sims(spark, sf_dir)
+    ann = sim_annotate(sims, _population(spark, sf_dir), ["label"], side="id1")
+    return sim_metrics(ann, ["id1", "label1"])
+
+
+def _q_sim_strata(kernel: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from matric_spark.operators.pairs import sim_calculate
+
+        out = sim_calculate(
+            _population(spark, sf_dir),
+            kernel=kernel,
+            vec_col="embedding",
+            strata=["label"],
+        )
+        return _round6(out, ["sim"])
+
+    return q
+
+
+def q_sim_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round6(_collated_sims(spark, sf_dir), ["sim"])
+
+
+def q_sim_metrics_level10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.duck_oracle import LEVEL10_METRIC_COLS
+
+    out = _level10(spark, sf_dir)
+    dbl = [c for c in LEVEL10_METRIC_COLS if not c.startswith("sim_stat_")]
+    return _round6(out, dbl)
+
+
+def q_sim_metrics_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.metrics import aggregate_level
+
+    out = aggregate_level(_level10(spark, sf_dir), ["label1"])
+    return _round6(out, [c for c in out.columns if c != "label1"])
+
+
+def q_sim_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.metrics import bh_adjust
+
+    t = _level10(spark, sf_dir).select(
+        "id1",
+        "label1",
+        F.col("sim_ranked_relrank_mean_non_rep_i").alias("p_value"),
+    )
+    return _round6(bh_adjust(t, "p_value"), ["p_value", "q_value"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats": q_colstats,
@@ -225,6 +305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "ann_topk": q_ann_topk,
+        "sim_cosine_strata": _q_sim_strata("cosine"),
+        "sim_pearson_strata": _q_sim_strata("pearson"),
+        "sim_euclidean_strata": _q_sim_strata("euclidean"),
+        "sim_collate": q_sim_collate,
+        "sim_metrics_level10": q_sim_metrics_level10,
+        "sim_metrics_level1": q_sim_metrics_level1,
+        "sim_bh": q_sim_bh,
     }
 
 
@@ -412,5 +499,14 @@ FROM transcripts WHERE text IS NOT NULL
 GROUP BY 1 HAVING count(*) > 1"""
     # emb_near_dup_lsh: intentionally no oracle (LSH recall is
     # probabilistic); covered by the rows-only check + pytest recall test.
+
+    # ---- matric-parity sim suite ----
+    sql["sim_cosine_strata"] = dk.sim_strata_sql("cosine")
+    sql["sim_pearson_strata"] = dk.sim_strata_sql("pearson")
+    sql["sim_euclidean_strata"] = dk.sim_strata_sql("euclidean")
+    sql["sim_collate"] = dk.sim_collate_sql()
+    sql["sim_metrics_level10"] = dk.sim_metrics_level10_sql()
+    sql["sim_metrics_level1"] = dk.sim_metrics_level1_sql()
+    sql["sim_bh"] = dk.sim_bh_sql()
 
     return sql

@@ -256,6 +256,195 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 
+# matric-parity sim suite ---------------------------------------------------
+
+_POP = """
+pop AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                 x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))) AS nv,
+               label, vec_id % 4 AS batch, (label = 0) AS is_ref
+        FROM embeddings)"""
+
+_COLLATE = """
+coll AS (
+  SELECT DISTINCT id1, id2, type FROM (
+    SELECT a.id AS id1, b.id AS id2, 'ref' AS type
+    FROM pop a JOIN pop b ON a.batch = b.batch AND a.id <> b.id
+    WHERE NOT a.is_ref AND b.is_ref
+    UNION ALL
+    SELECT a.id, b.id, 'rep'
+    FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id
+    WHERE NOT a.is_ref AND NOT b.is_ref
+    UNION ALL
+    SELECT a.id, b.id, 'rep'
+    FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id
+    WHERE a.is_ref AND b.is_ref
+    UNION ALL
+    SELECT a.id, b.id, 'non_rep'
+    FROM pop a JOIN pop b
+      ON a.batch = b.batch AND a.label <> b.label AND a.id <> b.id
+    WHERE NOT a.is_ref AND NOT b.is_ref
+  ) z)"""
+
+# cosine as a dot of pre-normalized rows — mirrors the Spark kernel's
+# preprocessing (operators/pairs._preprocess_features) op-for-op
+_SIM_COS = "list_dot_product(a.nv, b.nv)"
+
+_SIMS = f"""
+sims AS (SELECT c.id1, c.id2, c.type, {_SIM_COS} AS sim
+         FROM coll c JOIN pop a ON a.id = c.id1 JOIN pop b ON b.id = c.id2)"""
+
+
+def sim_strata_sql(kernel: str = "cosine") -> str:
+    """Within-label pairwise similarity (sim_calculate strata path)."""
+    if kernel == "cosine":
+        body = f"SELECT a.id AS id1, b.id AS id2, round({_SIM_COS}, 6) AS sim"
+        src = "pop a JOIN pop b ON a.label = b.label AND a.id <> b.id"
+        return f"WITH {_POP}\n{body} FROM {src}"
+    if kernel == "pearson":
+        return f"""
+WITH {_POP},
+cpop AS (SELECT id, label,
+                list_transform(v, x -> x - list_sum(v) / len(v)) AS cv
+         FROM pop),
+npop AS (SELECT id, label,
+                list_transform(cv,
+                  x -> x / sqrt(list_dot_product(cv, cv))) AS cnv
+         FROM cpop)
+SELECT a.id AS id1, b.id AS id2,
+       round(list_dot_product(a.cnv, b.cnv), 6) AS sim
+FROM npop a JOIN npop b ON a.label = b.label AND a.id <> b.id"""
+    if kernel == "euclidean":
+        return f"""
+WITH {_POP}
+SELECT a.id AS id1, b.id AS id2, round(list_distance(a.v, b.v), 6) AS sim
+FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id"""
+    raise ValueError(kernel)
+
+
+def sim_collate_sql() -> str:
+    """Typed collated pairs with cosine sim."""
+    return f"""
+WITH {_POP},
+{_COLLATE},
+{_SIMS}
+SELECT id1, id2, type, round(sim, 6) AS sim FROM sims"""
+
+
+_METRICS_CORE = f"""
+ann AS (SELECT s.id1, p.label AS label1, s.id2, s.type, s.sim
+        FROM sims s JOIN pop p ON p.id = s.id1),
+u AS (SELECT id1, label1, sim,
+             CASE WHEN type = 'rep' THEN 1 ELSE 0 END AS is_sig
+      FROM ann WHERE type IN ('rep', 'non_rep')),
+sc AS (SELECT *,
+              sum(is_sig) OVER g AS m,
+              sum(1 - is_sig) OVER g AS nbg,
+              sum(1 - is_sig) OVER (PARTITION BY id1 ORDER BY sim
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+       FROM u WINDOW g AS (PARTITION BY id1)),
+scf AS (SELECT * FROM sc WHERE m > 0 AND nbg > 0),
+bgs AS (SELECT id1, avg(sim) AS mean_stat, stddev_samp(sim) AS sd_stat
+        FROM scf WHERE is_sig = 0 GROUP BY id1),
+sig AS (SELECT s.*, least(1.0, (1 + s.nbg - s.cle) / CAST(s.nbg AS DOUBLE)) AS relrank,
+               (s.sim - b.mean_stat) / b.sd_stat AS sim_scaled
+        FROM scf s JOIN bgs b ON b.id1 = s.id1 WHERE s.is_sig = 1),
+agg AS (SELECT s.id1, any_value(s.label1) AS label1,
+               avg(s.sim_scaled) AS v_scaled_mean,
+               quantile_cont(s.sim_scaled, 0.5) AS v_scaled_median,
+               avg(s.relrank) AS v_relrank_mean,
+               quantile_cont(s.relrank, 0.5) AS v_relrank_median,
+               avg(s.sim) AS v_sim_mean,
+               quantile_cont(s.sim, 0.5) AS v_sim_median,
+               any_value(b.mean_stat) AS v_mean_stat,
+               any_value(b.sd_stat) AS v_sd_stat,
+               CAST(max(s.m) AS BIGINT) AS v_m,
+               CAST(max(s.nbg) AS BIGINT) AS v_nbg
+        FROM sig s JOIN bgs b ON b.id1 = s.id1 GROUP BY s.id1),
+byval AS (SELECT id1, sim, sum(is_sig) AS sig_v, sum(1 - is_sig) AS bg_v,
+                 max(m) AS m
+          FROM scf GROUP BY id1, sim),
+curve AS (SELECT *, sum(sig_v) OVER w AS tp, sum(bg_v) OVER w AS fp
+          FROM byval WINDOW w AS (PARTITION BY id1 ORDER BY sim DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ap AS (SELECT id1, sum((sig_v / CAST(m AS DOUBLE)) * (tp / CAST(tp + fp AS DOUBLE))) AS v_ap
+       FROM curve GROUP BY id1),
+rp AS (SELECT id1, sum(is_sig) / CAST(max(m) AS DOUBLE) AS v_rp
+       FROM (SELECT *, row_number() OVER (PARTITION BY id1
+               ORDER BY sim DESC, is_sig DESC) AS rn FROM scf) x
+       WHERE rn <= m GROUP BY id1),
+level10 AS (
+  SELECT a.id1, a.label1,
+         a.v_scaled_mean AS sim_scaled_mean_non_rep_i,
+         a.v_scaled_median AS sim_scaled_median_non_rep_i,
+         a.v_relrank_mean AS sim_ranked_relrank_mean_non_rep_i,
+         a.v_relrank_median AS sim_ranked_relrank_median_non_rep_i,
+         a.v_sim_mean AS sim_mean_i,
+         a.v_sim_median AS sim_median_i,
+         a.v_mean_stat AS sim_mean_stat_non_rep_i,
+         a.v_sd_stat AS sim_sd_stat_non_rep_i,
+         a.v_m AS sim_stat_signal_n_non_rep_i,
+         a.v_nbg AS sim_stat_background_n_non_rep_i,
+         ap.v_ap AS sim_retrieval_average_precision_non_rep_i,
+         rp.v_rp AS sim_retrieval_r_precision_non_rep_i
+  FROM agg a JOIN ap ON ap.id1 = a.id1 JOIN rp ON rp.id1 = a.id1)"""
+
+#: metric columns of level10 in output order (shared by level-1 builder)
+LEVEL10_METRIC_COLS = [
+    "sim_scaled_mean_non_rep_i",
+    "sim_scaled_median_non_rep_i",
+    "sim_ranked_relrank_mean_non_rep_i",
+    "sim_ranked_relrank_median_non_rep_i",
+    "sim_mean_i",
+    "sim_median_i",
+    "sim_mean_stat_non_rep_i",
+    "sim_sd_stat_non_rep_i",
+    "sim_stat_signal_n_non_rep_i",
+    "sim_stat_background_n_non_rep_i",
+    "sim_retrieval_average_precision_non_rep_i",
+    "sim_retrieval_r_precision_non_rep_i",
+]
+
+_DOUBLE_METRIC_COLS = [
+    c for c in LEVEL10_METRIC_COLS if not c.startswith("sim_stat_")
+]
+
+
+def _metrics_prefix() -> str:
+    return f"WITH {_POP},\n{_COLLATE},\n{_SIMS},\n{_METRICS_CORE}"
+
+
+def sim_metrics_level10_sql() -> str:
+    rounded = ", ".join(
+        f"round({c}, 6) AS {c}" if c in _DOUBLE_METRIC_COLS else c
+        for c in LEVEL10_METRIC_COLS
+    )
+    return f"{_metrics_prefix()}\nSELECT id1, label1, {rounded} FROM level10"
+
+
+def sim_metrics_level1_sql() -> str:
+    aggs = ", ".join(
+        f"round(avg({c}), 6) AS {c}_mean_i, "
+        f"round(quantile_cont({c}, 0.5), 6) AS {c}_median_i"
+        for c in LEVEL10_METRIC_COLS
+    )
+    return f"{_metrics_prefix()}\nSELECT label1, {aggs} FROM level10 GROUP BY label1"
+
+
+def sim_bh_sql() -> str:
+    return f"""{_metrics_prefix()},
+t AS (SELECT id1, label1,
+             sim_ranked_relrank_mean_non_rep_i AS p_value FROM level10),
+r AS (SELECT *, max(rn) OVER (PARTITION BY p_value) AS rnk,
+             count(*) OVER () AS n
+      FROM (SELECT *, row_number() OVER (ORDER BY p_value) AS rn FROM t) x)
+SELECT id1, label1, round(p_value, 6) AS p_value,
+       round(least(1.0, min(p_value * n / rnk) OVER (ORDER BY p_value DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS q_value
+FROM r"""
+
+
 def ann_topk_sql(k: int = 5, n_queries: int = 10) -> str:
     cos = _COS.format(a="q.qv", b="e.v")
     return f"""

@@ -1,0 +1,84 @@
+"""`sim_collate` (R/sim_collate.R:197-527) — build the typed pair subsets
+and union them with a `type` discriminator.
+
+Spark formulation: each subset is generated directly as a per-group
+self-join / broadcast-reference join over the METADATA relation (the
+optimized pair-gen path, R/sim_calculate.R:162-301) — the N² pair space
+is never materialized. `sim` is attached afterwards by
+`pairs.attach_sim` (the lazy path, vignettes/matric.Rmd:222-257): Spark's
+lazy evaluation makes eager-vs-lazy a non-distinction here.
+
+Subsets (tags follow the reference exactly):
+- ref     : non-reference × reference, same on all_same_cols_ref
+            (R/sim_collate.R:277-288)
+- rep     : non-ref × non-ref, same on all_same_cols_rep, both
+            directions kept (R/sim_collate.R:311-345)
+- rep_ref : reference × reference, same on all_same_cols_rep_ref,
+            tagged 'rep' and deduped out of ref (R/sim_collate.R:366-396)
+- non_rep : same on all_same_cols_non_rep, different on
+            any_different_cols_non_rep, both non-ref — the background
+            cohort (R/sim_collate.R:419-438)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matric_spark.operators.pairs import vs_reference_pairs, within_group_pairs
+from matric_spark.operators.sim_filter import filter_some_different
+
+
+def sim_collate(
+    meta: DataFrame,
+    reference: F.Column,
+    all_same_cols_ref: list[str] | None,
+    all_same_cols_rep: list[str],
+    all_same_cols_non_rep: list[str],
+    any_different_cols_non_rep: list[str],
+    id_col: str = "id",
+) -> DataFrame:
+    """Typed pair index DataFrame[id1, id2, type]."""
+    non_ref = meta.filter(~reference)
+    refs = meta.filter(reference)
+
+    # ref: non-ref side × reference side, same partition key; reference
+    # side is tiny → broadcast (R/sim_collate.R:277-288)
+    ref_pairs = vs_reference_pairs(
+        meta, reference, same_cols=all_same_cols_ref, id_col=id_col
+    ).withColumn("type", F.lit("ref"))
+
+    # rep: replicate pairs among non-reference rows (both directions,
+    # R/sim_collate.R:311-345)
+    rep_pairs = within_group_pairs(
+        non_ref, all_same_cols_rep, id_col=id_col
+    ).withColumn("type", F.lit("rep"))
+
+    # rep_ref: replicate pairs among reference rows, tagged 'rep'
+    # (R/sim_collate.R:366-396); deduped out of ref below
+    rep_ref_pairs = within_group_pairs(
+        refs, all_same_cols_rep, id_col=id_col
+    ).withColumn("type", F.lit("rep"))
+
+    # dedup overlap: ref pairs that are also rep_ref pairs are dropped
+    # from ref so they are not double-counted (R/sim_collate.R:387-395)
+    ref_pairs = ref_pairs.join(
+        rep_ref_pairs.select("id1", "id2"), ["id1", "id2"], "left_anti"
+    )
+
+    # non_rep: background — same partition, different perturbation,
+    # non-reference both sides (R/sim_collate.R:419-438)
+    universe = within_group_pairs(non_ref, all_same_cols_non_rep, id_col=id_col)
+    non_rep_pairs = filter_some_different(
+        universe,
+        non_ref,
+        all_same_cols=all_same_cols_non_rep,
+        any_different_cols=any_different_cols_non_rep,
+        id_col=id_col,
+    ).withColumn("type", F.lit("non_rep"))
+
+    # union + tag (R/sim_collate.R:480-504); distinct within type guards
+    # against overlapping generators, as the reference's distinct() does
+    out = ref_pairs.unionByName(rep_pairs).unionByName(rep_ref_pairs)
+    out = out.unionByName(non_rep_pairs)
+    return out.dropDuplicates(["id1", "id2", "type"])

@@ -1,0 +1,149 @@
+"""Pair generation + similarity kernels (matric's `sim_calculate`).
+
+The reference's three execution strategies map to Spark like this:
+- eager all-pairs (R/sim_calculate.R:80-161): `all_pairs` = crossJoin
+  minus diagonal. O(N²) — correctness baseline only.
+- optimized pair-gen (R/sim_calculate.R:162-301): never materialize N²;
+  `within_group_pairs` is a self-equi-join on the partition key (the
+  single most important pattern per SURVEY §2.3), `vs_reference_pairs`
+  broadcasts the small reference side. These are the 100 TB paths.
+- lazy (R/sim_calculate.R:150,296-298): Spark is lazy by construction —
+  a pair DataFrame without `sim` *is* the lazy index; `attach_sim`
+  plays `sim_calculate_ij` (R/sim_calculate.R:362-426): join the pair
+  list to features twice, compute the kernel as a codegen expression.
+
+Kernels (R/sim_calculate.R:113-132): cosine = normalized dot; pearson =
+row-center then cosine (equivalent to stats::cor for complete rows —
+matric's own sparse path makes the same simplification, R/sparse.R:194-198);
+euclidean = L2 distance. All three are Column expressions over
+array<double> — no Python in the pair hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matric_spark.functions.vector import cosine_sim, dot
+
+KERNELS = ("cosine", "pearson", "euclidean")
+
+
+def all_pairs(pop: DataFrame, id_col: str = "id") -> DataFrame:
+    """Eager full pair index: N×N minus the diagonal (both directions,
+    matching the melted symmetric matrix of R/sim_calculate.R:143-160)."""
+    a = pop.select(F.col(id_col).alias("id1"))
+    b = pop.select(F.col(id_col).alias("id2"))
+    return a.crossJoin(b).filter(F.col("id1") != F.col("id2"))
+
+
+def within_group_pairs(
+    pop: DataFrame, same_cols: list[str], id_col: str = "id"
+) -> DataFrame:
+    """Pairs agreeing on all `same_cols`: per-group self cross product
+    via equi-join (R/sim_calculate.R:177-191 reduct_all_same_cols_*).
+    Shuffle is keyed on the group columns — never a cross join."""
+    a = pop.select(*same_cols, F.col(id_col).alias("id1"))
+    b = pop.select(*same_cols, F.col(id_col).alias("id2"))
+    return (
+        a.join(b, same_cols)
+        .filter(F.col("id1") != F.col("id2"))
+        .select("id1", "id2")
+    )
+
+
+def vs_reference_pairs(
+    pop: DataFrame,
+    reference: F.Column,
+    same_cols: list[str] | None = None,
+    id_col: str = "id",
+    include_ref_left: bool = False,
+) -> DataFrame:
+    """(non-reference | all) × reference pairs, optionally constrained to
+    agree on `same_cols` (R/sim_calculate.R:193-233). The reference side
+    is small by construction → broadcast join."""
+    refs = pop.filter(reference)
+    left = pop if include_ref_left else pop.filter(~reference)
+    same_cols = same_cols or []
+    a = left.select(*same_cols, F.col(id_col).alias("id1"))
+    b = refs.select(*same_cols, F.col(id_col).alias("id2"))
+    joined = a.join(F.broadcast(b), same_cols) if same_cols else a.crossJoin(
+        F.broadcast(b)
+    )
+    return joined.filter(F.col("id1") != F.col("id2")).select("id1", "id2")
+
+
+def _preprocess_features(v: F.Column, kernel: str) -> F.Column:
+    """Row-level kernel preprocessing, done ONCE per row before the pair
+    join — matric's own optimization (normalize rows then tcrossprod,
+    R/sim_calculate.R:126-128; center then normalize, R/sparse.R:194-198).
+    Per-pair work is then a single dot product / diff, O(d) not O(d²)."""
+    if kernel == "pearson":
+        mean = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+        v = F.transform(v, lambda x: x - mean)
+    if kernel in ("cosine", "pearson"):
+        norm = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return F.when(norm > 0, F.transform(v, lambda x: x / norm))
+    return v
+
+
+def _kernel_expr(kernel: str) -> F.Column:
+    """Pair-level kernel over preprocessed feature vectors."""
+    v1, v2 = F.col("_v1"), F.col("_v2")
+    if kernel in ("cosine", "pearson"):
+        return dot(v1, v2)  # rows pre-normalized (and pre-centered)
+    if kernel == "euclidean":
+        diff = F.zip_with(v1, v2, lambda x, y: (x - y) * (x - y))
+        return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+    raise ValueError(f"kernel must be one of {KERNELS}, got {kernel!r}")
+
+
+def attach_sim(
+    pairs: DataFrame,
+    pop: DataFrame,
+    kernel: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "features",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fill `sim` for a pair list (matric `sim_calculate_ij`,
+    R/sim_calculate.R:362-426): dedup pairs, join features to both sides,
+    evaluate the kernel in codegen. Duplicate pairs are dropped *before*
+    the join — matric's dedup-before-fan-out discipline
+    (R/sim_calculate.R:395-399)."""
+    feats = pop.select(
+        F.col(id_col).alias("_fid"),
+        _preprocess_features(
+            F.col(vec_col).cast("array<double>"), kernel
+        ).alias("_v"),
+    )
+    uniq = pairs.select("id1", "id2", *(keep_cols or [])).dropDuplicates(
+        ["id1", "id2", *(keep_cols or [])]
+    )
+    out = (
+        uniq.join(feats.withColumnsRenamed({"_fid": "id1", "_v": "_v1"}), "id1")
+        .join(feats.withColumnsRenamed({"_fid": "id2", "_v": "_v2"}), "id2")
+        .withColumn("sim", _kernel_expr(kernel))
+        .drop("_v1", "_v2")
+    )
+    return out.select("id1", "id2", *(keep_cols or []), "sim")
+
+
+def sim_calculate(
+    pop: DataFrame,
+    kernel: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "features",
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """matric `sim_calculate`: all-pairs (strata=None) or within-strata
+    pairs, with `sim` attached. `strata` ≙ all_same_cols_rep_or_group
+    (R/sim_calculate.R:92-96)."""
+    pairs = (
+        within_group_pairs(pop, strata, id_col=id_col)
+        if strata
+        else all_pairs(pop, id_col=id_col)
+    )
+    return attach_sim(pairs, pop, kernel=kernel, id_col=id_col, vec_col=vec_col)

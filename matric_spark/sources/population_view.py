@@ -1,0 +1,37 @@
+"""Deterministic matric-style "population" over the `embeddings` table.
+
+matric's population is a wide table of metadata + feature columns
+(R/utils.R:32-39). Here: `embedding` (64-dim array) is the feature block,
+and the metadata columns are derived deterministically from the keys so
+Spark and the DuckDB oracle see identical inputs:
+
+- label            : replicate/group key (≙ Metadata_pert_name)
+- batch = vec_id%4 : partition key (≙ Metadata_Plate)
+- is_ref = label=0 : reference cohort (≙ Metadata_gene_name == 'Chr2',
+                     data-raw/cellhealth.R:1-45)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+POPULATION_SQL = """
+SELECT vec_id AS id,
+       embedding,
+       label,
+       vec_id % 4 AS batch,
+       label = 0 AS is_ref
+FROM embeddings
+"""
+
+
+def population_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding"),
+        F.col("label"),
+        (F.col("vec_id") % 4).alias("batch"),
+        (F.col("label") == 0).alias("is_ref"),
+    )

@@ -1,0 +1,193 @@
+"""matric-parity tests, mirroring the reference's four techniques
+(SURVEY §5): closed-form kernels on tiny populations
+(tests/testthat/test-sim_calculate.R:5-103), r_precision edge cases
+(test-sim_metrics.R:360-372), differential equivalence between execution
+strategies (test-sim_metrics.R:188-289), and hand-checked metric values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def population(spark):
+    # rows 1-2 proportional (cosine=1, pearson defined), 3-4 anti (−1)
+    rows = [
+        (1, [1.0, 2.0, 3.0], 10, 0),
+        (2, [2.0, 4.0, 6.0], 10, 1),
+        (3, [1.0, 0.0, -1.0], 20, 0),
+        (4, [-1.0, 0.0, 1.0], 20, 1),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, features array<double>, label int, batch int"
+    )
+
+
+def test_kernels_closed_form(spark, population):
+    from matric_spark.operators.pairs import sim_calculate
+
+    cos = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(population, "cosine", strata=["label"]).collect()
+    }
+    assert cos[(1, 2)] == pytest.approx(1.0)
+    assert cos[(3, 4)] == pytest.approx(-1.0)
+
+    pea = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(population, "pearson", strata=["label"]).collect()
+    }
+    assert pea[(1, 2)] == pytest.approx(1.0)  # collinear ⇒ pearson 1
+
+    euc = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(population, "euclidean", strata=["label"]).collect()
+    }
+    assert euc[(1, 2)] == pytest.approx(math.sqrt(1 + 4 + 9))
+    assert euc[(3, 4)] == pytest.approx(math.sqrt(4 + 0 + 4))
+
+
+def test_optimized_equals_eager_restricted(spark, population):
+    """Differential: within-group pair-gen ≡ all-pairs filtered to the
+    same groups (matric's optimized ≡ eager equivalence,
+    tests/testthat/test-sim_calculate.R:169-333)."""
+    from matric_spark.operators.pairs import all_pairs, attach_sim, within_group_pairs
+    from matric_spark.operators.sim_filter import filter_all_same
+
+    fast = within_group_pairs(population, ["label"])
+    slow = filter_all_same(all_pairs(population), population, ["label"])
+    f = {(r.id1, r.id2) for r in fast.collect()}
+    s = {(r.id1, r.id2) for r in slow.collect()}
+    assert f == s and len(f) == 4  # both directions of (1,2) and (3,4)
+
+    # attach_sim is strategy-independent
+    a = {(r.id1, r.id2): r.sim for r in attach_sim(fast, population).collect()}
+    b = {(r.id1, r.id2): r.sim for r in attach_sim(slow, population).collect()}
+    assert a == b
+
+
+def test_filter_suite(spark, population):
+    from matric_spark.operators.pairs import all_pairs
+    from matric_spark.operators.sim_filter import (
+        drop_lower,
+        filter_drop_some,
+        filter_keep_some,
+        filter_some_different,
+    )
+
+    pairs = all_pairs(population)
+    spec = spark.createDataFrame([(10,)], "label int")
+    kept = {(r.id1, r.id2) for r in filter_keep_some(pairs, population, spec).collect()}
+    assert kept == {(1, 2), (1, 3), (1, 4), (2, 1), (2, 3), (2, 4)}
+    dropped = {(r.id1, r.id2) for r in filter_drop_some(pairs, population, spec).collect()}
+    assert kept.isdisjoint(dropped) and len(kept) + len(dropped) == 12
+
+    # same batch, different label
+    sd = {
+        (r.id1, r.id2)
+        for r in filter_some_different(
+            pairs, population, ["batch"], any_different_cols=["label"]
+        ).collect()
+    }
+    assert sd == {(1, 3), (3, 1), (2, 4), (4, 2)}
+
+    assert {(r.id1, r.id2) for r in drop_lower(pairs).collect()} == {
+        (i, j) for i in range(1, 5) for j in range(1, 5) if i > j
+    }
+
+
+def test_collate_types(spark):
+    from matric_spark.operators.collate import sim_collate
+
+    # 2 batches × (ref + 2 groups of 2)
+    rows = [
+        (i, [float(i), 1.0], lbl, i % 2, lbl == 0)
+        for i, lbl in enumerate([0, 0, 1, 1, 2, 2, 1, 2])
+    ]
+    meta = spark.createDataFrame(
+        rows, "id long, features array<double>, label int, batch int, is_ref boolean"
+    )
+    coll = sim_collate(
+        meta,
+        reference=F.col("is_ref"),
+        all_same_cols_ref=["batch"],
+        all_same_cols_rep=["label"],
+        all_same_cols_non_rep=["batch"],
+        any_different_cols_non_rep=["label"],
+    )
+    counts = {r.type: r.n for r in coll.groupBy("type").agg(F.count("*").alias("n")).collect()}
+    # ref: each non-ref row × the ref row in its batch = 6 pairs
+    # rep: within-label directional pairs among non-refs + ref-ref pairs
+    # non_rep: same batch, different label, non-ref
+    assert counts["ref"] == 6
+    # labels for ids 2..7: 1,1,2,2,1,2 → label 1: ids {2,3,6}; label 2: {4,5,7}
+    assert counts["rep"] == 6 + 6 + 2  # 3P2 + 3P2 within labels + ref-ref both dirs
+    # batch0 non-refs: 2(l1),4(l2),6(l1) → 4 cross-label ordered pairs;
+    # batch1 non-refs: 3(l1),5(l2),7(l2) → 4
+    assert counts["non_rep"] == 8
+
+
+def test_r_precision_edges(spark):
+    """Reference edge cases (tests/testthat/test-sim_metrics.R:360-372):
+    label sequences by descending sim → known R-precision."""
+    from matric_spark.operators.metrics import sim_metrics
+
+    def run(seq):
+        rows = [
+            (1, i, "rep" if s == "s" else "non_rep", float(len(seq) - i))
+            for i, s in enumerate(seq)
+        ]
+        df = spark.createDataFrame(rows, "id1 int, id2 int, type string, sim double")
+        out = sim_metrics(df, ["id1"]).collect()
+        return out[0]["sim_retrieval_r_precision_non_rep_i"] if out else None
+
+    assert run(["s", "b", "b"]) == pytest.approx(1.0)
+    assert run(["b", "s", "b"]) == pytest.approx(0.0)
+    assert run(["b", "s", "s", "b"]) == pytest.approx(0.5)
+
+
+def test_metrics_closed_form(spark):
+    from matric_spark.operators.metrics import sim_metrics
+
+    rows = [(1, 101, "rep", 0.9), (1, 102, "rep", 0.5),
+            (1, 103, "non_rep", 0.8), (1, 104, "non_rep", 0.4),
+            (1, 105, "non_rep", 0.2)]
+    df = spark.createDataFrame(rows, "id1 int, id2 int, type string, sim double")
+    r = sim_metrics(df, ["id1"]).collect()[0]
+    sd = math.sqrt(((0.8 - 7 / 15) ** 2 + (0.4 - 7 / 15) ** 2 + (0.2 - 7 / 15) ** 2) / 2)
+    assert r["sim_mean_stat_non_rep_i"] == pytest.approx(7 / 15)
+    assert r["sim_sd_stat_non_rep_i"] == pytest.approx(sd)
+    assert r["sim_scaled_mean_non_rep_i"] == pytest.approx(
+        ((0.9 - 7 / 15) / sd + (0.5 - 7 / 15) / sd) / 2
+    )
+    assert r["sim_ranked_relrank_mean_non_rep_i"] == pytest.approx(0.5)  # (1/3+2/3)/2
+    assert r["sim_retrieval_average_precision_non_rep_i"] == pytest.approx(5 / 6)
+    assert r["sim_retrieval_r_precision_non_rep_i"] == pytest.approx(0.5)
+    assert r["sim_stat_signal_n_non_rep_i"] == 2
+    assert r["sim_stat_background_n_non_rep_i"] == 3
+
+
+def test_relrank_below_background_clamps_to_one(spark):
+    from matric_spark.operators.metrics import sim_metrics
+
+    rows = [(1, 1, "rep", 0.1), (1, 2, "non_rep", 0.5), (1, 3, "non_rep", 0.9)]
+    df = spark.createDataFrame(rows, "id1 int, id2 int, type string, sim double")
+    r = sim_metrics(df, ["id1"]).collect()[0]
+    # sim below every background value → NA in R, replaced with 1
+    assert r["sim_ranked_relrank_mean_non_rep_i"] == pytest.approx(1.0)
+
+
+def test_bh_adjust(spark):
+    from matric_spark.operators.metrics import bh_adjust
+
+    df = spark.createDataFrame(
+        [(1, 0.005), (2, 0.04), (3, 0.03)], "id int, p double"
+    )
+    q = {r.id: r.q_value for r in bh_adjust(df, "p").collect()}
+    assert q[2] == pytest.approx(0.04)
+    assert q[3] == pytest.approx(0.04)   # min(0.03*3/2, 0.04) = 0.04? no: 0.045 → 0.04
+    assert q[1] == pytest.approx(0.015)  # min(0.005*3/1, 0.04) = 0.015
