@@ -283,6 +283,75 @@ def q_sim_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(bh_adjust(t, "p_value"), ["p_value", "q_value"])
 
 
+def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume path vs the SAME oracle as `verdicts`: a
+    two-step incremental run (crash after half the partitions, then
+    resume) must reproduce the one-shot batch verdicts exactly."""
+    import tempfile
+
+    from matric_spark.state import run_incremental
+
+    t = transcript_df(spark, sf_dir)
+    sd = tempfile.mkdtemp(prefix="graft_state_")
+    run_incremental(spark, t, sd, "run1", "fp", fail_after_partitions=40)
+    out = run_incremental(spark, t, sd, "run2", "fp")
+    return _round6(out, ["metric"])
+
+
+def q_colstats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcript_df(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = t.groupBy("part_month").agg(
+        F.expr(
+            "percentile(length(text), array(0.25, 0.5, 0.75, 0.95))"
+        ).alias("_q")
+    )
+    return _round6(
+        out.select(
+            "part_month",
+            F.col("_q")[0].alias("len_p25"),
+            F.col("_q")[1].alias("len_p50"),
+            F.col("_q")[2].alias("len_p75"),
+            F.col("_q")[3].alias("len_p95"),
+        ),
+        ["len_p25", "len_p50", "len_p75", "len_p95"],
+    )
+
+
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate by design → no exact oracle (rows-only); accuracy and
+    # merge-invariance are bounded in tests/test_sketches.py.
+    from matric_spark.operators.sketches import hll_distinct, tdigest_quantiles
+
+    t = transcript_df(spark, sf_dir)
+    td = tdigest_quantiles(
+        t.filter(F.col("text").isNotNull()).withColumn(
+            "_len", F.length("text")
+        ),
+        ["part_month"],
+        "_len",
+        [0.5, 0.95],
+    )
+    hll = hll_distinct(t, ["part_month"], "conv_id")
+    return td.join(hll, "part_month")
+
+
+def q_sim_signif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # permutation nulls are seeded-numpy — deterministic but not
+    # SQL-reproducible → no oracle (rows-only); properties tested in
+    # tests/test_signif.py (monotonicity, determinism, extremes).
+    from matric_spark.operators.signif import attach_ap_pvalues
+
+    stat = "sim_retrieval_average_precision_non_rep_i"
+    out = attach_ap_pvalues(_level10(spark, sf_dir), nn=1000).select(
+        "id1",
+        "label1",
+        stat,
+        f"{stat}_nlog10pvalue",
+        f"{stat}_nlog10qvalue",
+    )
+    return _round6(out, [c for c in out.columns if c.startswith("sim")])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats": q_colstats,
@@ -312,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_metrics_level10": q_sim_metrics_level10,
         "sim_metrics_level1": q_sim_metrics_level1,
         "sim_bh": q_sim_bh,
+        "sim_signif": q_sim_signif,
+        "colstats_quantiles": q_colstats_quantiles,
+        "sketch_stats": q_sketch_stats,
+        "incremental_verdicts": q_incremental_verdicts,
     }
 
 
@@ -508,5 +581,16 @@ GROUP BY 1 HAVING count(*) > 1"""
     sql["sim_metrics_level10"] = dk.sim_metrics_level10_sql()
     sql["sim_metrics_level1"] = dk.sim_metrics_level1_sql()
     sql["sim_bh"] = dk.sim_bh_sql()
+
+    sql["colstats_quantiles"] = f"""{_T}
+SELECT part_month,
+       round(quantile_cont(length(text), 0.25), 6) AS len_p25,
+       round(quantile_cont(length(text), 0.50), 6) AS len_p50,
+       round(quantile_cont(length(text), 0.75), 6) AS len_p75,
+       round(quantile_cont(length(text), 0.95), 6) AS len_p95
+FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
+
+    # the resumed incremental run must equal the one-shot batch suite
+    sql["incremental_verdicts"] = sql["verdicts"]
 
     return sql

@@ -1,0 +1,233 @@
+"""Checkpointed validation runs: per-partition lineage + metric state,
+resume-without-recompute (SURVEY §7.2 M5; north-rule requirement).
+
+matric carries lineage in fragile data-frame attributes and restores
+them by hand (`sim_restore`, R/sim_construct-validate.R:83-140). Here
+lineage is a first-class STATE TABLE (partitioned parquet in the
+sandbox; 1:1 `writeTo(...).append()` on Iceberg, with the snapshot id
+as the fingerprint):
+
+    state/local/      per-partition verdicts for PARTITION-LOCAL checks
+                      (ref_role, ref_tool, null_text, null_ts, seq_order)
+    state/key_index/  (conv_id, turn_idx, part, cnt) — per-partition key
+                      counts; cross-partition uniqueness is an aggregate
+                      of this index, never a re-scan. On a cluster this
+                      table is bucketed by key so the merge is
+                      shuffle-free.
+    state/sketch/     (part, v, c) value-counts sketch — KS and PSI for
+                      EVERY partition are recomputed from the merged
+                      sketch each run (sketch-sized work), because each
+                      partition's drift baseline is the complement of
+                      the whole table and so changes as partitions land.
+    state/log/        (part, fingerprint, run_id, n_rows) completion log
+
+Check taxonomy that makes resume correct:
+- row-local checks → attributable to a partition outright.
+- conversation-local checks (turn ordering): a conversation may span
+  partitions, so new partitions pull their conversations IN FULL via a
+  semi-join before the window — a bounded boundary re-read; verdicts
+  are then attributed to rows' own partitions.
+- global checks (uniqueness, drift) → derived from merged state
+  aggregates, O(state) not O(data).
+
+A partition is COMPLETE for an input `fingerprint` iff a log row exists;
+completed partitions are pruned from the scan by a partition-column
+predicate (partition pruning on Iceberg). If the input changes, the
+fingerprint changes and everything re-validates (SURVEY §7.3e).
+Differential guarantee (tests/test_state.py): crash-resume ≡ fresh ≡
+the one-shot batch suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matric_spark.checks.drift import ks_by_partition, psi_by_partition, _counts
+from matric_spark.checks.sequence import out_of_order_turns
+from matric_spark.checks.suite import SuiteConfig, scalar_check_metrics
+
+_LOG_SCHEMA = "part int, run_id string, n_rows long, fingerprint string"
+
+
+def input_fingerprint(path: str) -> str:
+    """Lineage id of the input: hash of the recursive file listing
+    (name, size, mtime) — the parquet stand-in for an Iceberg snapshot id."""
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, state_dir: str) -> None:
+        self.spark = spark
+        self.dir = state_dir
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def _read(self, name: str, schema: str | None = None) -> DataFrame | None:
+        try:
+            r = self.spark.read
+            if schema:
+                r = r.schema(schema)
+            return r.parquet(self._path(name))
+        except Exception:
+            return None
+
+    def _append(self, df: DataFrame, name: str, fingerprint: str) -> None:
+        df.withColumn("fingerprint", F.lit(fingerprint)).write.mode(
+            "append"
+        ).parquet(self._path(name))
+
+    def _for(self, name: str, fingerprint: str, schema: str | None = None) -> DataFrame | None:
+        df = self._read(name, schema)
+        if df is None:
+            return None
+        return df.filter(F.col("fingerprint") == fingerprint).drop("fingerprint")
+
+    def completed_partitions(self, fingerprint: str) -> list[int]:
+        log = self._for("log", fingerprint, _LOG_SCHEMA)
+        if log is None:
+            return []
+        return [r.part for r in log.select("part").distinct().collect()]
+
+
+def run_incremental(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    state_dir: str,
+    run_id: str,
+    fingerprint: str,
+    cfg: SuiteConfig | None = None,
+    fail_after_partitions: int | None = None,
+) -> DataFrame:
+    """Validate partitions not yet completed for `fingerprint`, append
+    their state, and return the full verdict table (identical to
+    `run_verdicts(transcripts)` once all partitions are complete).
+
+    `fail_after_partitions=k` simulates a mid-job crash: only the first
+    k remaining partitions are processed before 'dying'.
+    """
+    cfg = cfg or SuiteConfig()
+    p = cfg.partition_col
+    store = StateStore(spark, state_dir)
+
+    done = store.completed_partitions(fingerprint)
+    remaining = transcripts.filter(~F.col(p).isin(done)) if done else transcripts
+    if fail_after_partitions is not None:
+        parts = [
+            r[0] for r in remaining.select(p).distinct().orderBy(p).collect()
+        ][:fail_after_partitions]
+        remaining = remaining.filter(F.col(p).isin(parts))
+
+    if remaining.select(p).limit(1).count() > 0:
+        # ---- partition-local state for the new partitions ----
+        scalar = scalar_check_metrics(remaining, cfg)
+
+        # sequence needs whole conversations (they span partitions):
+        # bounded boundary re-read via semi-join, verdicts attributed to
+        # each row's own partition
+        convs = remaining.select(*cfg.key[:1]).distinct()
+        full_convs = transcripts.join(convs, cfg.key[:1], "left_semi")
+        seq = (
+            out_of_order_turns(full_convs)
+            .join(remaining.select(p).distinct(), p, "left_semi")
+            .groupBy(F.col(p).alias("part"))
+            .agg(F.count(F.lit(1)).alias("seq_order"))
+        )
+        local = scalar.join(seq, "part", "left").fillna(0, subset=["seq_order"])
+        store._append(local, "local", fingerprint)
+
+        # key index: per-partition key counts (uniqueness merges these)
+        key_index = remaining.groupBy(*cfg.key, F.col(p).alias("part")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        store._append(key_index, "key_index", fingerprint)
+
+        # drift sketch: per-partition value counts
+        sketch = _counts(remaining, p, F.length("text"))
+        store._append(sketch, "sketch", fingerprint)
+
+        log = (
+            remaining.groupBy(F.col(p).alias("part"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select("part", F.lit(run_id).alias("run_id"), "n_rows")
+        )
+        store._append(log, "log", fingerprint)
+
+    return assemble_verdicts(spark, store, fingerprint, cfg)
+
+
+def assemble_verdicts(
+    spark: SparkSession,
+    store: StateStore,
+    fingerprint: str,
+    cfg: SuiteConfig,
+) -> DataFrame:
+    """Full verdict table from state only — no data re-scan.
+
+    Global checks: uniqueness folds the key index (keys duplicated
+    ANYWHERE → per-partition participating-row counts); KS/PSI run on
+    the merged sketch via the same code path as the batch suite."""
+    from pyspark.sql import Column
+
+    local = store._for("local", fingerprint)
+    assert local is not None, "no completed partitions in state"
+    local = local.dropDuplicates(["part"])
+
+    key_index = store._for("key_index", fingerprint).dropDuplicates(
+        [*cfg.key, "part"]
+    )
+    glob = key_index.groupBy(*cfg.key).agg(F.sum("cnt").alias("_g"))
+    dup_keys = glob.filter(F.col("_g") > 1).select(*cfg.key)
+    uniq = (
+        key_index.join(dup_keys, cfg.key, "left_semi")
+        .groupBy("part")
+        .agg(F.sum("cnt").alias("uniqueness"))
+    )
+
+    sketch = store._for("sketch", fingerprint).dropDuplicates(["p", "v"])
+    ks = ks_by_partition(None, "part", None, precomputed=sketch).select(
+        "part", "ks_d"
+    )
+    psi = psi_by_partition(None, "part", None, precomputed=sketch).select(
+        "part", "psi"
+    )
+
+    wide = (
+        local.join(uniq, "part", "left")
+        .join(ks, "part", "left")
+        .join(psi, "part", "left")
+        .fillna(0, subset=["uniqueness"])
+    )
+
+    def entry(metric: Column, fail_when: Column) -> Column:
+        status = F.when(fail_when, F.lit("fail")).otherwise(F.lit("pass"))
+        return F.struct(metric.cast("double").alias("m"), status.alias("s"))
+
+    structs: dict[str, Column] = {}
+    for chk in ["ref_role", "ref_tool", "null_text", "null_ts", "uniqueness", "seq_order"]:
+        structs[chk] = entry(F.col(chk), F.col(chk) > 0)
+    structs["drift_ks"] = entry(F.col("ks_d"), F.col("ks_d") > cfg.ks_threshold)
+    structs["drift_psi"] = entry(F.col("psi"), F.col("psi") > cfg.psi_threshold)
+
+    packed = wide.select("part", *[c.alias(n) for n, c in structs.items()])
+    return packed.unpivot(
+        ids=["part"],
+        values=list(structs),
+        variableColumnName="check_id",
+        valueColumnName="ms",
+    ).select(
+        "part",
+        "check_id",
+        F.col("ms.m").alias("metric"),
+        F.col("ms.s").alias("status"),
+    )

@@ -1,0 +1,94 @@
+"""Resume/checkpoint differential tests (SURVEY §5 technique 3, applied
+to the state layer): crash-resume ≡ fresh ≡ one-shot batch suite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matric_spark.checks.suite import SuiteConfig, run_verdicts
+from matric_spark.state import StateStore, input_fingerprint, run_incremental
+
+
+def _rows(df):
+    return sorted(
+        (r.part, r.check_id, round(r.metric, 9), r.status) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def cfg():
+    return SuiteConfig()
+
+
+def test_fresh_incremental_equals_batch(spark, tiny_transcripts, tmp_path, cfg):
+    out = run_incremental(
+        spark, tiny_transcripts, str(tmp_path / "state"), "run1", "fp1", cfg
+    )
+    assert _rows(out) == _rows(run_verdicts(tiny_transcripts, cfg))
+
+
+def test_crash_resume_equals_fresh(spark, tiny_transcripts, tmp_path, cfg):
+    sd = str(tmp_path / "state")
+    # crash after the first partition
+    partial = run_incremental(
+        spark, tiny_transcripts, sd, "run1", "fp1", cfg, fail_after_partitions=1
+    )
+    assert {r.part for r in partial.select("part").distinct().collect()} == {1}
+    # resume finishes the rest; result equals the batch suite
+    out = run_incremental(spark, tiny_transcripts, sd, "run2", "fp1", cfg)
+    assert _rows(out) == _rows(run_verdicts(tiny_transcripts, cfg))
+
+
+def test_resume_skips_completed_partitions(spark, tiny_transcripts, tmp_path, cfg):
+    sd = str(tmp_path / "state")
+    run_incremental(spark, tiny_transcripts, sd, "run1", "fp1", cfg)
+    store = StateStore(spark, sd)
+    log_before = store._read("log").count()
+    # nothing remaining → no new log rows
+    run_incremental(spark, tiny_transcripts, sd, "run2", "fp1", cfg)
+    assert store._read("log").count() == log_before
+    assert sorted(store.completed_partitions("fp1")) == [1, 2]
+
+
+def test_changed_fingerprint_revalidates(spark, tiny_transcripts, tmp_path, cfg):
+    sd = str(tmp_path / "state")
+    run_incremental(spark, tiny_transcripts, sd, "run1", "fpA", cfg)
+    store = StateStore(spark, sd)
+    assert store.completed_partitions("fpB") == []  # new lineage → all redo
+    out = run_incremental(spark, tiny_transcripts, sd, "run2", "fpB", cfg)
+    assert _rows(out) == _rows(run_verdicts(tiny_transcripts, cfg))
+
+
+def test_cross_partition_duplicates_found_incrementally(spark, tmp_path, cfg):
+    """A key duplicated ACROSS partitions (one row in each) must still be
+    flagged when the partitions were validated in separate runs — the
+    key-index merge, not any single scan, finds it."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("X", 0, "user", "a", None, t0, 1),
+        ("X", 0, "user", "b", None, t0, 2),  # same key, other partition
+        ("Y", 0, "user", "c", None, t0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, part_month int",
+    )
+    sd = str(tmp_path / "state")
+    run_incremental(spark, df, sd, "r1", "fp", cfg, fail_after_partitions=1)
+    out = run_incremental(spark, df, sd, "r2", "fp", cfg)
+    uniq = {r.part: r.metric for r in out.filter(F.col("check_id") == "uniqueness").collect()}
+    assert uniq == {1: 1.0, 2: 1.0}  # both halves of the dup pair flagged
+    assert _rows(out) == _rows(run_verdicts(df, cfg))
+
+
+def test_input_fingerprint_changes_with_data(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"aaa")
+    f1 = input_fingerprint(str(d))
+    assert f1 == input_fingerprint(str(d))
+    (d / "a.parquet").write_bytes(b"aaab")
+    assert input_fingerprint(str(d)) != f1
