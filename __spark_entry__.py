@@ -63,7 +63,7 @@ def q_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_uniqueness_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcript_df(spark, sf_dir)
-    return duplicate_keys(t, ["conv_id", "turn_idx"], strategy="salted")
+    return duplicate_keys(t, ["conv_id", "turn_idx"], strategy="hash")
 
 
 def q_ref_role_violations(spark: SparkSession, sf_dir: str) -> DataFrame:

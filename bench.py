@@ -31,6 +31,18 @@ def main() -> None:
 
     spark = get_spark(app_name="matric_spark_bench")
 
+    # Materialize the transcript table to parquet once. In production this
+    # table EXISTS as Iceberg storage; locally it is derived from
+    # lineitem⋈orders, and without materializing every query would re-run
+    # that derivation join. Parquet (vs .cache()) keeps column pruning,
+    # predicate pushdown, and AQE on the read side — the same plan shape a
+    # real table gives. Partitioned by part_month like the production table.
+    import tempfile
+
+    mat = os.path.join(tempfile.mkdtemp(prefix="graft_bench_"), "transcripts")
+    transcript_df(spark, sf_dir).write.partitionBy("part_month").parquet(mat)
+    os.environ["SPARK_GRAFT_TRANSCRIPTS_PARQUET"] = mat
+
     t = transcript_df(spark, sf_dir)
     n_turns = t.count()  # also warms the JVM/scan path
 

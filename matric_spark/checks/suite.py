@@ -41,7 +41,7 @@ class SuiteConfig:
     tool_domain: list[str] = field(default_factory=lambda: list(DEFAULT_TOOL_DOMAIN))
     ks_threshold: float = 0.15
     psi_threshold: float = 0.25
-    uniqueness_strategy: str = "salted"
+    uniqueness_strategy: str = "hash"
 
 
 def scalar_check_metrics(df: DataFrame, cfg: SuiteConfig) -> DataFrame:
@@ -67,8 +67,13 @@ def run_verdicts(df: DataFrame, cfg: SuiteConfig | None = None) -> DataFrame:
 
     scalar = scalar_check_metrics(df, cfg)
 
-    # uniqueness: rows participating in globally-duplicated keys, per part
-    dup_rows = uniqueness_violations(df, cfg.key, strategy=cfg.uniqueness_strategy)
+    # uniqueness: rows participating in globally-duplicated keys, per
+    # part. Project to (key, partition) BEFORE the check: the verdict
+    # needs only the count, and without the projection the semi-join
+    # shuffles every column — the text column alone is ~10× the bytes.
+    dup_rows = uniqueness_violations(
+        df.select(*cfg.key, p), cfg.key, strategy=cfg.uniqueness_strategy
+    )
     uniq = dup_rows.groupBy(F.col(p).alias("part")).agg(
         F.count(F.lit(1)).alias("uniqueness")
     )

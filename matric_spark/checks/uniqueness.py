@@ -24,11 +24,32 @@ from pyspark.sql import functions as F
 def duplicate_keys(
     df: DataFrame,
     key: list[str],
-    strategy: str = "salted",
+    strategy: str = "hash",
     n_salt: int = 16,
 ) -> DataFrame:
-    """Keys occurring more than once → DataFrame[*key, n_dup long]."""
-    if strategy == "direct":
+    """Keys occurring more than once → DataFrame[*key, n_dup long].
+
+    strategy='hash' (default, the scale path): aggregate on
+    xxhash64(key) FIRST — an 8-byte primitive that Spark's vectorized
+    hash map handles at memory speed, vs. fat string keys that spill the
+    partial-agg hash table when keys are near-unique (the common case:
+    almost every (conv_id, turn_idx) appears once, so the first phase is
+    pure shuffle-byte cost). Rows whose hash collides are then verified
+    with an exact groupBy on the real key — only the candidate fraction
+    is reshuffled, and 64-bit false positives are filtered exactly.
+    """
+    if strategy == "hash":
+        h = F.xxhash64(*key)
+        cand = (
+            df.select(h.alias("_h"))
+            .groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .select("_h")
+        )
+        hits = df.withColumn("_h", h).join(cand, "_h", "left_semi")
+        counts = hits.groupBy(*key).agg(F.count(F.lit(1)).alias("n_dup"))
+    elif strategy == "direct":
         counts = df.groupBy(*key).agg(F.count(F.lit(1)).alias("n_dup"))
     elif strategy == "salted":
         # Salt by physical input split: duplicate rows of one hot key sit
@@ -48,7 +69,7 @@ def duplicate_keys(
 def uniqueness_violations(
     df: DataFrame,
     key: list[str],
-    strategy: str = "salted",
+    strategy: str = "hash",
     n_salt: int = 16,
 ) -> DataFrame:
     """Materialized violating rows: every input row whose key collides.

@@ -247,13 +247,22 @@ _COS = (
 )
 
 
+# normalized-rows CTE mirroring operators/ann._normalized op-for-op
+_NORM_E = """
+e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS v
+      FROM embeddings)"""
+
+
 def embedding_near_dup_sql(threshold: float = 0.4) -> str:
-    cos = _COS.format(a="a.v", b="b.v")
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id1, b.vec_id AS id2, round({cos}, 6) AS cosine
+WITH {_NORM_E}
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_dot_product(a.v, b.v), 6) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {cos} >= {threshold}"""
+WHERE list_dot_product(a.v, b.v) >= {threshold}"""
 
 
 # matric-parity sim suite ---------------------------------------------------
@@ -446,12 +455,10 @@ FROM r"""
 
 
 def ann_topk_sql(k: int = 5, n_queries: int = 10) -> str:
-    cos = _COS.format(a="q.qv", b="e.v")
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-      WHERE vec_id < {n_queries}),
-s AS (SELECT q.qid, e.vec_id, {cos} AS cosine
+WITH {_NORM_E},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+s AS (SELECT q.qid, e.vec_id, list_dot_product(q.qv, e.v) AS cosine
       FROM q CROSS JOIN e WHERE q.qid <> e.vec_id),
 r AS (SELECT qid, vec_id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank

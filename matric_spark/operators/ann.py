@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from matric_spark.functions.vector import cosine_sim
+from matric_spark.functions.vector import dot
 
 N_PLANES = 16
 _CHUNK_BITS = 4
@@ -46,6 +46,30 @@ def _as_double(col: str = "embedding") -> F.Column:
     return F.col(col).cast("array<double>")
 
 
+def _normalized(
+    df: DataFrame, id_col: str, vec_col: str, id_out: str, v_out: str
+) -> DataFrame:
+    """Pre-normalize rows in STAGED projections (norm as its own column;
+    see pairs._preprocess_features for why nesting the aggregate inside
+    the transform lambda explodes codegen). Cosine then becomes one dot
+    per pair — a third of the inline-norms work."""
+    return (
+        df.select(F.col(id_col).alias(id_out), _as_double(vec_col).alias(v_out))
+        .withColumn(
+            "_nrm",
+            F.sqrt(F.aggregate(v_out, F.lit(0.0), lambda a, x: a + x * x)),
+        )
+        .withColumn(
+            v_out,
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform(v_out, lambda x: x / F.col("_nrm")),
+            ),
+        )
+        .drop("_nrm")
+    )
+
+
 def ann_topk_bruteforce(
     emb: DataFrame,
     queries: DataFrame,
@@ -61,14 +85,12 @@ def ann_topk_bruteforce(
     """
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qv")
-    )
-    e = emb.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("v"))
+    q = _normalized(queries, id_col, vec_col, "qid", "qv")
+    e = _normalized(emb, id_col, vec_col, "vec_id", "v")
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine_sim("qv", "v").alias("cosine"))
+        .select("qid", "vec_id", dot("qv", "v").alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -88,12 +110,12 @@ def embedding_near_dup(
     O(N²) by construction — correct at test scale; the LSH variant below
     is the same operator with candidate pruning for production scale.
     """
-    e1 = emb.select(F.col(id_col).alias("id1"), _as_double(vec_col).alias("v1"))
-    e2 = emb.select(F.col(id_col).alias("id2"), _as_double(vec_col).alias("v2"))
+    e1 = _normalized(emb, id_col, vec_col, "id1", "v1")
+    e2 = _normalized(emb, id_col, vec_col, "id2", "v2")
     return (
         e1.crossJoin(e2)
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cosine_sim("v1", "v2").alias("cosine"))
+        .select("id1", "id2", dot("v1", "v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -136,8 +158,9 @@ def embedding_near_dup_lsh(
     (equi-join keyed on (chunk_idx, chunk_val) — uniform buckets, no
     cross join); survivors verified with the exact cosine expression.
     """
+    normed = _normalized(emb, id_col, vec_col, id_col, vec_col)
     sigs = hyperplane_signatures(
-        emb, dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+        normed, dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
     )
     n_chunks = n_planes // _CHUNK_BITS
     chunk_arr = F.array(
@@ -164,6 +187,6 @@ def embedding_near_dup_lsh(
         .dropDuplicates(["id1", "id2"])
     )
     return (
-        cand.select("id1", "id2", cosine_sim("v1", "v2").alias("cosine"))
+        cand.select("id1", "id2", dot("v1", "v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

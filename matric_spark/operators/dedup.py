@@ -139,7 +139,9 @@ def ngram_jaccard_pairs(
 
     Candidates = docs sharing ≥1 shingle (equi-join on shingle hash).
     `max_df` drops shingles appearing in more than max_df docs before the
-    join — the scale lever that bounds per-key fan-out (skew kill).
+    join — the scale lever that bounds per-key fan-out (skew kill); with
+    it set, dropped shingles also leave the intersection counts, making
+    the jaccard a (slightly low) approximation — exact when max_df=None.
     """
     sets = shingle_sets(docs, n=n)
     join_sets = sets
@@ -150,14 +152,28 @@ def ngram_jaccard_pairs(
         join_sets = sets.join(hot.select("h"), "h", "left_anti")
     a = join_sets.select(F.col("doc_id").alias("id1"), "h")
     b = join_sets.select(F.col("doc_id").alias("id2"), "h")
-    cand = (
+    # shared-shingle counts fall straight out of the candidate join — one
+    # aggregation, no distinct, no re-join of the shingle sets (which
+    # would cost |candidates| × |shingles per doc| intermediate rows)
+    shared = (
         a.join(b, "h")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
     )
-    return _jaccard_for_pairs(cand, sets).filter(
-        F.col("jaccard") >= threshold
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"}), "id1")
+        .join(sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"}), "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("shared")
+                / (F.col("n1") + F.col("n2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

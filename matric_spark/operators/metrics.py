@@ -54,6 +54,7 @@ def sim_metrics(
     signal_type: str = "rep",
     background_type: str = "non_rep",
     identifier: str = "i",
+    persist: bool = True,
 ) -> DataFrame:
     """Level-1_0 metrics table, grouped by `summary_cols` (must include
     id1 for the per-row level; pass group keys only for coarser levels).
@@ -85,6 +86,15 @@ def sim_metrics(
     # groups lacking either cohort drop out (matric inner joins,
     # R/sim_metrics.R:406-428)
     scored = scored.filter((F.col("_m") > 0) & (F.col("_n_bg") > 0))
+
+    # `scored` feeds FOUR consumers (bg stats, per-group agg, AP curve,
+    # R-precision); without persistence each branch re-runs the whole
+    # upstream pair computation. matric materializes collated_sim the
+    # same way. MEMORY_AND_DISK: spills instead of OOM at scale.
+    if persist:
+        from pyspark import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
 
     relrank = F.coalesce(
         F.least(

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from matric_spark.functions.vector import cosine_sim, dot
+from matric_spark.functions.vector import dot
 
 KERNELS = ("cosine", "pearson", "euclidean")
 
@@ -73,20 +73,51 @@ def vs_reference_pairs(
     return joined.filter(F.col("id1") != F.col("id2")).select("id1", "id2")
 
 
-def _preprocess_features(v: F.Column, kernel: str) -> F.Column:
+def _preprocess_features(
+    df: DataFrame, v: F.Column, kernel: str, out_col: str
+) -> DataFrame:
     """Row-level kernel preprocessing, done ONCE per row before the pair
     join — matric's own optimization (normalize rows then tcrossprod,
     R/sim_calculate.R:126-128; center then normalize, R/sparse.R:194-198).
-    Per-pair work is then a single dot product / diff, O(d) not O(d²)."""
+    Per-pair work is then a single dot product / diff, O(d) not O(d²).
+
+    STAGED as separate withColumn projections on purpose: embedding the
+    mean/norm aggregates inside the transform lambdas nests higher-order
+    functions three deep, and Catalyst cannot CSE across lambda scopes —
+    the expression tree (and its codegen) grows O(d³) and a 3 s job takes
+    40 s compiling. Materialized intermediate columns keep every
+    expression O(d). (Float op order is unchanged — oracle-identical.)"""
+    df = df.withColumn(out_col, v)
     if kernel == "pearson":
-        mean = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
-        v = F.transform(v, lambda x: x - mean)
-    if kernel in ("cosine", "pearson"):
-        norm = F.sqrt(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        df = (
+            df.withColumn(
+                "_pp_mean",
+                F.aggregate(out_col, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size(out_col),
+            )
+            .withColumn(
+                out_col, F.transform(out_col, lambda x: x - F.col("_pp_mean"))
+            )
+            .drop("_pp_mean")
         )
-        return F.when(norm > 0, F.transform(v, lambda x: x / norm))
-    return v
+    if kernel in ("cosine", "pearson"):
+        df = (
+            df.withColumn(
+                "_pp_norm",
+                F.sqrt(
+                    F.aggregate(out_col, F.lit(0.0), lambda acc, x: acc + x * x)
+                ),
+            )
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col("_pp_norm") > 0,
+                    F.transform(out_col, lambda x: x / F.col("_pp_norm")),
+                ),
+            )
+            .drop("_pp_norm")
+        )
+    return df
 
 
 def _kernel_expr(kernel: str) -> F.Column:
@@ -113,12 +144,12 @@ def attach_sim(
     evaluate the kernel in codegen. Duplicate pairs are dropped *before*
     the join — matric's dedup-before-fan-out discipline
     (R/sim_calculate.R:395-399)."""
-    feats = pop.select(
-        F.col(id_col).alias("_fid"),
-        _preprocess_features(
-            F.col(vec_col).cast("array<double>"), kernel
-        ).alias("_v"),
-    )
+    feats = _preprocess_features(
+        pop.select(F.col(id_col).alias("_fid"), F.col(vec_col)),
+        F.col(vec_col).cast("array<double>"),
+        kernel,
+        "_v",
+    ).select("_fid", "_v")
     uniq = pairs.select("id1", "id2", *(keep_cols or [])).dropDuplicates(
         ["id1", "id2", *(keep_cols or [])]
     )

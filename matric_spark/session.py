@@ -71,6 +71,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: keep file-split tasks balanced ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- shuffle spill dir: this host's disk is ~300 MB/s shared
+        # across all writers, which serializes shuffle-heavy stages at
+        # high core counts; tmpfs restores the per-node NVMe bandwidth a
+        # real cluster has. Override with SPARK_GRAFT_LOCAL_DIR.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
         # quieter local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -33,11 +33,12 @@ def test_column_stats(tiny_transcripts):
     assert out[2]["tool_nulls"] == 1
 
 
-def test_uniqueness_direct_equals_salted(tiny_transcripts):
+def test_uniqueness_strategies_agree(tiny_transcripts):
     key = ["conv_id", "turn_idx"]
     direct = sorted(map(tuple, duplicate_keys(tiny_transcripts, key, "direct").collect()))
     salted = sorted(map(tuple, duplicate_keys(tiny_transcripts, key, "salted").collect()))
-    assert direct == salted == [("B", 1, 2)]
+    hashed = sorted(map(tuple, duplicate_keys(tiny_transcripts, key, "hash").collect()))
+    assert direct == salted == hashed == [("B", 1, 2)]
     rows = uniqueness_violations(tiny_transcripts, key).collect()
     assert len(rows) == 2 and all(r["conv_id"] == "B" and r["turn_idx"] == 1 for r in rows)
 

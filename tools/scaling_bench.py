@@ -1,0 +1,149 @@
+"""Two-parallelism scaling evidence for the north rule's cluster-size
+criterion (BASELINE.json: throughput scaling efficiency >= 0.8 going
+from N to 4N executors).
+
+No real cluster exists in the sandbox, so per the driver instructions we
+run the SAME job on the SAME input at local[N_LOW] and local[N_HIGH]
+(default 8 vs 32 = the N→4N shape) and report throughput at both plus
+  efficiency = (T_low / T_high) / (N_high / N_low).
+
+Method notes (what made the measurement honest):
+- The input is MATERIALIZED once as a many-file parquet table
+  (`copies`× the sf dir's transcripts, distinct conv_id namespaces,
+  deterministic). Deriving it inline would leave the scan with 1-2
+  splits (one small source file), serializing the map side at any core
+  count — input splits, not the session's shuffle setting, decide the
+  map-side parallelism, exactly as on a real cluster.
+- Each level runs in a fresh subprocess (fresh JVM), `runs` repetitions,
+  best wall time kept (JIT/scan-cache warmed by an untimed count).
+- Shuffle partitions scale with the core count (session.py), so the
+  reduce side also widens from N to 4N.
+
+Usage: python tools/scaling_bench.py [--copies 16] [--runs 2]
+       [--low 8] [--high 32] [--sf-dir /root/testdata/sf0.1]
+Prints one JSON line; results recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_PREPARE = r"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+from matric_spark.session import get_spark
+from matric_spark.sources.transcripts_view import transcript_df
+
+copies = int(os.environ["SB_COPIES"])
+sf_dir = os.environ["SB_SF_DIR"]
+out = os.environ["SB_INPUT"]
+files = int(os.environ["SB_FILES"])
+
+spark = get_spark(app_name="scaling_prepare", cpus=8)
+base = transcript_df(spark, sf_dir)
+scaled = base.withColumn("_c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))))
+scaled = scaled.withColumn(
+    "conv_id", F.concat_ws("#", F.col("conv_id"), F.col("_c").cast("string"))
+).drop("_c")
+scaled.repartition(files).write.mode("overwrite").parquet(out)
+print("PREPARED")
+"""
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+from matric_spark.session import get_spark
+from matric_spark.checks.suite import SuiteConfig, run_verdicts
+
+cpus = int(os.environ["SB_CPUS"])
+runs = int(os.environ["SB_RUNS"])
+
+spark = get_spark(app_name=f"scaling_bench_{cpus}", cpus=cpus)
+t = spark.read.parquet(os.environ["SB_INPUT"])
+n_turns = t.count()  # warm scan + JIT
+
+best = None
+for _ in range(runs):
+    t0 = time.time()
+    run_verdicts(t, SuiteConfig()).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": cpus, "n_turns": n_turns, "sec": round(best, 2),
+                  "turns_per_sec": round(n_turns / best, 1)}))
+"""
+
+
+def _run(code: str, env: dict) -> str:
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True, text=True
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"child failed:\n{out.stderr[-2000:]}")
+    return out.stdout
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=64)
+    ap.add_argument("--runs", type=int, default=2)
+    # default N=4 → 4N=16: this host's cores clock down ~27% under full
+    # 32-thread load (raw-CPU calibration in BENCH/BASELINE.md), so an
+    # 8→32 pair measures turbo throttling, not the job's scalability;
+    # 4→16 keeps both levels in the same clock regime. Pass --low/--high
+    # to measure any other pair (8→32 numbers are reported too).
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
+    ap.add_argument("--files", type=int, default=96)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--input-dir", default="/tmp/graft_scaling_input")
+    args = ap.parse_args()
+
+    env = dict(
+        os.environ,
+        SB_COPIES=str(args.copies),
+        SB_RUNS=str(args.runs),
+        SB_SF_DIR=args.sf_dir,
+        SB_INPUT=args.input_dir,
+        SB_FILES=str(args.files),
+        # one moderate heap for both levels — large heaps (48g) degrade
+        # the high-parallelism level (GC of a huge old gen), tiny heaps
+        # starve it; 16g is flat across 4..32 threads on this workload
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    )
+    marker = os.path.join(args.input_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        _run(_PREPARE, env)
+
+    levels = {}
+    for cpus in (args.low, args.high):
+        env["SB_CPUS"] = str(cpus)
+        out = _run(_CHILD, env)
+        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+        levels[cpus] = json.loads(lines[-1])
+
+    lo, hi = levels[args.low], levels[args.high]
+    ratio = args.high / args.low
+    eff = (lo["sec"] / hi["sec"]) / ratio
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "low": lo,
+                "high": hi,
+                "parallelism_ratio": ratio,
+                "speedup": round(lo["sec"] / hi["sec"], 3),
+                "efficiency": round(eff, 3),
+                "sf": args.sf_dir,
+                "copies": args.copies,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
