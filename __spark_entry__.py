@@ -272,6 +272,34 @@ def q_sim_metrics_level1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, [c for c in out.columns if c != "label1"])
 
 
+def q_sim_metrics_level21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level 2_1 (R/sim_metrics.R:256-284): signal = rep_group (same
+    gene, different perturbation) vs the non_rep background, id 'g'."""
+    from matric_spark.operators.collate import sim_collate
+    from matric_spark.operators.metrics import sim_annotate, sim_metrics
+    from matric_spark.operators.pairs import attach_sim
+
+    pop = _population(spark, sf_dir)
+    coll = sim_collate(
+        pop,
+        reference=F.col("is_ref"),
+        all_same_cols_ref=["batch"],
+        all_same_cols_rep=["label"],
+        all_same_cols_non_rep=["batch"],
+        any_different_cols_non_rep=["label"],
+        all_same_cols_group=["gene"],
+        any_different_cols_group=["label"],
+    )
+    sims = attach_sim(coll, pop, kernel="cosine", vec_col="embedding", keep_cols=["type"])
+    ann = sim_annotate(sims, pop, ["gene"], side="id1")
+    out = sim_metrics(
+        ann, ["id1", "gene1"], signal_type="rep_group", identifier="g"
+    )
+    return _round6(
+        out, [c for c in out.columns if c.startswith("sim") and "stat_signal_n" not in c and "stat_background_n" not in c]
+    )
+
+
 def q_sim_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.metrics import bh_adjust
 
@@ -380,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_collate": q_sim_collate,
         "sim_metrics_level10": q_sim_metrics_level10,
         "sim_metrics_level1": q_sim_metrics_level1,
+        "sim_metrics_level21": q_sim_metrics_level21,
         "sim_bh": q_sim_bh,
         "sim_signif": q_sim_signif,
         "colstats_quantiles": q_colstats_quantiles,
@@ -580,6 +609,7 @@ GROUP BY 1 HAVING count(*) > 1"""
     sql["sim_collate"] = dk.sim_collate_sql()
     sql["sim_metrics_level10"] = dk.sim_metrics_level10_sql()
     sql["sim_metrics_level1"] = dk.sim_metrics_level1_sql()
+    sql["sim_metrics_level21"] = dk.sim_metrics_level21_sql()
     sql["sim_bh"] = dk.sim_bh_sql()
 
     sql["colstats_quantiles"] = f"""{_T}

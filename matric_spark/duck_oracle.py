@@ -272,7 +272,8 @@ pop AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
                list_transform(embedding::DOUBLE[],
                  x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
                                                 embedding::DOUBLE[]))) AS nv,
-               label, vec_id % 4 AS batch, (label = 0) AS is_ref
+               label, label % 5 AS gene, vec_id % 4 AS batch,
+               (label = 0) AS is_ref
         FROM embeddings)"""
 
 _COLLATE = """
@@ -341,12 +342,35 @@ WITH {_POP},
 SELECT id1, id2, type, round(sim, 6) AS sim FROM sims"""
 
 
-_METRICS_CORE = f"""
-ann AS (SELECT s.id1, p.label AS label1, s.id2, s.type, s.sim
+#: rep_group arm appended to the collate union for the level_2_1 oracle
+#: (R/sim_collate.R:460-478: same group, different perturbation)
+_COLLATE_GROUP_ARM = """
+    UNION ALL
+    SELECT a.id, b.id, 'rep_group'
+    FROM pop a JOIN pop b
+      ON a.gene = b.gene AND a.label <> b.label AND a.id <> b.id
+    WHERE NOT a.is_ref AND NOT b.is_ref"""
+
+
+def _metrics_core(
+    signal: str = "rep", ann: str = "label", bg: str = "non_rep", ident: str = "i"
+) -> str:
+    """Windows/aggregates CTE chain mirroring operators/metrics.sim_metrics
+    for any (signal type, annotation column, background, identifier)."""
+    a1 = f"{ann}1"
+    raw_sfx = f"_{ident}"
+    bg_sfx = f"_{bg}_{ident}"
+    return f"""
+ann AS (SELECT s.id1, p.{ann} AS {a1}, s.id2, s.type, s.sim
         FROM sims s JOIN pop p ON p.id = s.id1),
-u AS (SELECT id1, label1, sim,
-             CASE WHEN type = 'rep' THEN 1 ELSE 0 END AS is_sig
-      FROM ann WHERE type IN ('rep', 'non_rep')),
+u AS (SELECT id1, {a1} AS label1, sim,
+             CASE WHEN type = '{signal}' THEN 1 ELSE 0 END AS is_sig
+      FROM ann WHERE type IN ('{signal}', '{bg}')),""" + _METRICS_TAIL.format(
+        a1=a1, raw=raw_sfx, bg=bg_sfx
+    )
+
+
+_METRICS_TAIL = """
 sc AS (SELECT *,
               sum(is_sig) OVER g AS m,
               sum(1 - is_sig) OVER g AS nbg,
@@ -384,44 +408,64 @@ rp AS (SELECT id1, sum(is_sig) / CAST(max(m) AS DOUBLE) AS v_rp
                ORDER BY sim DESC, is_sig DESC) AS rn FROM scf) x
        WHERE rn <= m GROUP BY id1),
 level10 AS (
-  SELECT a.id1, a.label1,
-         a.v_scaled_mean AS sim_scaled_mean_non_rep_i,
-         a.v_scaled_median AS sim_scaled_median_non_rep_i,
-         a.v_relrank_mean AS sim_ranked_relrank_mean_non_rep_i,
-         a.v_relrank_median AS sim_ranked_relrank_median_non_rep_i,
-         a.v_sim_mean AS sim_mean_i,
-         a.v_sim_median AS sim_median_i,
-         a.v_mean_stat AS sim_mean_stat_non_rep_i,
-         a.v_sd_stat AS sim_sd_stat_non_rep_i,
-         a.v_m AS sim_stat_signal_n_non_rep_i,
-         a.v_nbg AS sim_stat_background_n_non_rep_i,
-         ap.v_ap AS sim_retrieval_average_precision_non_rep_i,
-         rp.v_rp AS sim_retrieval_r_precision_non_rep_i
+  SELECT a.id1, a.label1 AS {a1},
+         a.v_scaled_mean AS sim_scaled_mean{bg},
+         a.v_scaled_median AS sim_scaled_median{bg},
+         a.v_relrank_mean AS sim_ranked_relrank_mean{bg},
+         a.v_relrank_median AS sim_ranked_relrank_median{bg},
+         a.v_sim_mean AS sim_mean{raw},
+         a.v_sim_median AS sim_median{raw},
+         a.v_mean_stat AS sim_mean_stat{bg},
+         a.v_sd_stat AS sim_sd_stat{bg},
+         a.v_m AS sim_stat_signal_n{bg},
+         a.v_nbg AS sim_stat_background_n{bg},
+         ap.v_ap AS sim_retrieval_average_precision{bg},
+         rp.v_rp AS sim_retrieval_r_precision{bg}
   FROM agg a JOIN ap ON ap.id1 = a.id1 JOIN rp ON rp.id1 = a.id1)"""
 
+
+def metric_cols(bg: str = "non_rep", ident: str = "i") -> list[str]:
+    """Level-1_0 metric column names in output order, following the
+    reference naming grammar (R/sim_metrics.R:533-554)."""
+    b, r = f"_{bg}_{ident}", f"_{ident}"
+    return [
+        f"sim_scaled_mean{b}",
+        f"sim_scaled_median{b}",
+        f"sim_ranked_relrank_mean{b}",
+        f"sim_ranked_relrank_median{b}",
+        f"sim_mean{r}",
+        f"sim_median{r}",
+        f"sim_mean_stat{b}",
+        f"sim_sd_stat{b}",
+        f"sim_stat_signal_n{b}",
+        f"sim_stat_background_n{b}",
+        f"sim_retrieval_average_precision{b}",
+        f"sim_retrieval_r_precision{b}",
+    ]
+
+
 #: metric columns of level10 in output order (shared by level-1 builder)
-LEVEL10_METRIC_COLS = [
-    "sim_scaled_mean_non_rep_i",
-    "sim_scaled_median_non_rep_i",
-    "sim_ranked_relrank_mean_non_rep_i",
-    "sim_ranked_relrank_median_non_rep_i",
-    "sim_mean_i",
-    "sim_median_i",
-    "sim_mean_stat_non_rep_i",
-    "sim_sd_stat_non_rep_i",
-    "sim_stat_signal_n_non_rep_i",
-    "sim_stat_background_n_non_rep_i",
-    "sim_retrieval_average_precision_non_rep_i",
-    "sim_retrieval_r_precision_non_rep_i",
-]
+LEVEL10_METRIC_COLS = metric_cols()
 
 _DOUBLE_METRIC_COLS = [
     c for c in LEVEL10_METRIC_COLS if not c.startswith("sim_stat_")
 ]
 
 
-def _metrics_prefix() -> str:
-    return f"WITH {_POP},\n{_COLLATE},\n{_SIMS},\n{_METRICS_CORE}"
+def _metrics_prefix(
+    signal: str = "rep",
+    ann: str = "label",
+    bg: str = "non_rep",
+    ident: str = "i",
+    with_group: bool = False,
+) -> str:
+    collate = (
+        _COLLATE.replace("  ) z)", _COLLATE_GROUP_ARM + "\n  ) z)")
+        if with_group
+        else _COLLATE
+    )
+    core = _metrics_core(signal, ann, bg, ident)
+    return f"WITH {_POP},\n{collate},\n{_SIMS},\n{core}"
 
 
 def sim_metrics_level10_sql() -> str:
@@ -430,6 +474,20 @@ def sim_metrics_level10_sql() -> str:
         for c in LEVEL10_METRIC_COLS
     )
     return f"{_metrics_prefix()}\nSELECT id1, label1, {rounded} FROM level10"
+
+
+def sim_metrics_level21_sql() -> str:
+    """Level-2_1 (R/sim_metrics.R:256-284): signal=rep_group vs
+    non_rep background, grouped by gene, identifier 'g'."""
+    cols = metric_cols(ident="g")
+    rounded = ", ".join(
+        f"round({c}, 6) AS {c}" if not c.startswith("sim_stat_") else c
+        for c in cols
+    )
+    prefix = _metrics_prefix(
+        signal="rep_group", ann="gene", ident="g", with_group=True
+    )
+    return f"{prefix}\nSELECT id1, gene1, {rounded} FROM level10"
 
 
 def sim_metrics_level1_sql() -> str:

@@ -36,9 +36,16 @@ def sim_collate(
     all_same_cols_rep: list[str],
     all_same_cols_non_rep: list[str],
     any_different_cols_non_rep: list[str],
+    all_same_cols_group: list[str] | None = None,
+    any_different_cols_group: list[str] | None = None,
     id_col: str = "id",
 ) -> DataFrame:
-    """Typed pair index DataFrame[id1, id2, type]."""
+    """Typed pair index DataFrame[id1, id2, type].
+
+    Optional 5th subset (R/sim_collate.R:460-478): `rep_group` — same
+    group (e.g. same gene, `all_same_cols_group`) but different
+    perturbation (`any_different_cols_group`), non-reference both sides.
+    """
     non_ref = meta.filter(~reference)
     refs = meta.filter(reference)
 
@@ -81,4 +88,18 @@ def sim_collate(
     # against overlapping generators, as the reference's distinct() does
     out = ref_pairs.unionByName(rep_pairs).unionByName(rep_ref_pairs)
     out = out.unionByName(non_rep_pairs)
+
+    if all_same_cols_group:
+        group_universe = within_group_pairs(
+            non_ref, all_same_cols_group, id_col=id_col
+        )
+        rep_group_pairs = filter_some_different(
+            group_universe,
+            non_ref,
+            all_same_cols=all_same_cols_group,
+            any_different_cols=any_different_cols_group or [],
+            id_col=id_col,
+        ).withColumn("type", F.lit("rep_group"))
+        out = out.unionByName(rep_group_pairs)
+
     return out.dropDuplicates(["id1", "id2", "type"])

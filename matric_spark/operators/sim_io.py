@@ -1,0 +1,102 @@
+"""SimFrame construct/validate/write/read — matric's `matric_sim` object
+and its I/O (R/sim_construct-validate.R, R/sim_read-write.R).
+
+matric stores row_metadata + metric_metadata as fragile data.frame
+attributes and re-attaches them after dplyr verbs (`sim_restore`,
+R/sim_construct-validate.R:83-140). Here they are first-class storage:
+
+    <path>/pairs/      parquet: id1, id2[, sim, ...]
+    <path>/metadata/   parquet: id + annotation columns
+    <path>/params.json metric_metadata (kernel, lineage params)
+
+`sim_validate` enforces the reference's exact invariants
+(R/sim_construct-validate.R:54-81): {id1,id2} ⊆ columns, `id` ∈
+metadata, and referential integrity of both pair sides against the
+metadata ids — as broadcast anti-joins whose ROWS are the materialized
+violations (the north rule's check shape), not just a boolean.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SimValidationError(ValueError):
+    pass
+
+
+@dataclass
+class SimFrame:
+    """matric_sim: melted pair list + row metadata + metric metadata
+    (R/sim_construct-validate.R:24-42). `sim` may be absent — the lazy
+    pair index is legal (R/sim_construct-validate.R:71-72)."""
+
+    pairs: DataFrame
+    row_metadata: DataFrame
+    metric_metadata: dict = field(default_factory=dict)
+
+
+def sim_new(
+    pairs: DataFrame, row_metadata: DataFrame, metric_metadata: dict
+) -> SimFrame:
+    """Constructor with the reference's structural preconditions
+    (R/sim_construct-validate.R:24-42)."""
+    if row_metadata is None or metric_metadata is None:
+        raise SimValidationError("row_metadata and metric_metadata are required")
+    return sim_validate(SimFrame(pairs, row_metadata, dict(metric_metadata)))
+
+
+def referential_violations(sf: SimFrame) -> DataFrame:
+    """Pair rows whose id1 or id2 is missing from metadata — the
+    anti-join rows behind `all(x$id1 %in% row_metadata$id)`
+    (R/sim_construct-validate.R:69-78). Metadata ids broadcast."""
+    ids = F.broadcast(sf.row_metadata.select("id").distinct())
+    bad1 = sf.pairs.join(
+        ids, sf.pairs["id1"] == ids["id"], "left_anti"
+    ).withColumn("bad_side", F.lit("id1"))
+    bad2 = sf.pairs.join(
+        ids, sf.pairs["id2"] == ids["id"], "left_anti"
+    ).withColumn("bad_side", F.lit("id2"))
+    return bad1.unionByName(bad2)
+
+
+def sim_validate(sf: SimFrame) -> SimFrame:
+    """Raise SimValidationError on any invariant breach; return sf."""
+    cols = set(sf.pairs.columns)
+    if not {"id1", "id2"} <= cols:
+        raise SimValidationError(f"pairs must contain id1, id2; has {sorted(cols)}")
+    if "id" not in sf.row_metadata.columns:
+        raise SimValidationError("row_metadata must contain an 'id' column")
+    n_bad = referential_violations(sf).limit(1).count()
+    if n_bad:
+        raise SimValidationError(
+            "referential integrity violated: pair ids missing from metadata "
+            "(inspect referential_violations(sf))"
+        )
+    return sf
+
+
+def sim_write(sf: SimFrame, path: str, file_format: str = "parquet") -> None:
+    """Persist all three components (R/sim_read-write.R:42-76). On
+    Iceberg: two writeTo().append() + table properties for the params."""
+    if file_format != "parquet":
+        raise NotImplementedError("csv 3-file layout is a non-goal (SURVEY §7.4)")
+    sf.pairs.write.mode("overwrite").parquet(os.path.join(path, "pairs"))
+    sf.row_metadata.write.mode("overwrite").parquet(os.path.join(path, "metadata"))
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump(sf.metric_metadata, f, sort_keys=True)
+
+
+def sim_read(spark: SparkSession, path: str) -> SimFrame:
+    """Load + RE-VALIDATE (sim_validate(sim_new(...)) on read,
+    R/sim_read-write.R:112-154) — storage is untrusted."""
+    pairs = spark.read.parquet(os.path.join(path, "pairs"))
+    meta = spark.read.parquet(os.path.join(path, "metadata"))
+    with open(os.path.join(path, "params.json")) as f:
+        params = json.load(f)
+    return sim_new(pairs, meta, params)

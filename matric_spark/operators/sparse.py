@@ -1,0 +1,103 @@
+"""Blocked pairwise kernels — matric's sparse path (R/sparse.R) on
+Arrow batches.
+
+matric blocks the pair list by hand (nest by id1, group identical
+id2-lists, R/sparse.R:29-35) and runs one BLAS `tcrossprod` per block
+(R/sparse.R:115-128). SURVEY §2.3's verdict: that hand-rolled
+co-grouping is what Spark's shuffle partitioning gives for free — so
+the Spark-first translation joins features to the pair list (the same
+two joins as `sim_calculate_ij`) and computes one vectorized numpy
+kernel per Arrow RECORD BATCH via `mapInPandas`: `einsum('ij,ij->i')`
+IS the batched tcrossprod diagonal, amortized exactly like the
+reference's per-block matmul.
+
+When to use which:
+- `pairs.attach_sim` (codegen expressions): default; zero Python.
+- `pairwise_blocked` here: pluggable Python kernels (matric's
+  `pairwise_function` extension point, R/sparse.R:20) and kernels that
+  need real numpy/BLAS. Float summation order differs from the
+  sequential expression path (pairwise/BLAS vs left fold), so results
+  match to ~1e-12 relative, not bitwise — differential-tested, not
+  oracle-gated.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: a kernel takes (X1, X2) row-aligned float64 matrices, returns the
+#: per-row similarity vector (the tcrossprod diagonal, R/sparse.R:115-128)
+Kernel = Callable[["object", "object"], "object"]
+
+
+def tcrossprod_rows(x1, x2):
+    """Row-wise dot: diag(X1 @ X2.T) without forming the full product."""
+    import numpy as np
+
+    return np.einsum("ij,ij->i", x1, x2)
+
+
+def cosine_rows(x1, x2):
+    """cosine_sparse (R/sparse.R:186-190): row-normalize then dot."""
+    import numpy as np
+
+    n1 = np.linalg.norm(x1, axis=1, keepdims=True)
+    n2 = np.linalg.norm(x2, axis=1, keepdims=True)
+    return tcrossprod_rows(x1 / n1, x2 / n2)
+
+
+def pearson_rows(x1, x2):
+    """pearson_sparse (R/sparse.R:194-198): row-center then cosine."""
+    return cosine_rows(
+        x1 - x1.mean(axis=1, keepdims=True),
+        x2 - x2.mean(axis=1, keepdims=True),
+    )
+
+
+KERNELS: dict[str, Kernel] = {
+    "cosine": cosine_rows,
+    "pearson": pearson_rows,
+    "tcrossprod": tcrossprod_rows,
+}
+
+
+def pairwise_blocked(
+    pairs: DataFrame,
+    pop: DataFrame,
+    kernel: str | Kernel = "cosine",
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """`sparse_pairwise` (R/sparse.R:20-48): fill `sim` for a pair list
+    with a per-batch numpy kernel. Pairs are deduped before the fan-out
+    joins (R/sim_calculate.R:395-399); the kernel may be a name from
+    KERNELS or any (X1, X2) -> vector callable (the `pairwise_function`
+    plug point)."""
+    import numpy as np
+    import pandas as pd
+
+    fn = KERNELS[kernel] if isinstance(kernel, str) else kernel
+
+    feats = pop.select(
+        F.col(id_col).alias("_fid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    joined = (
+        pairs.select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+        .join(feats.withColumnsRenamed({"_fid": "id1", "_v": "_v1"}), "id1")
+        .join(feats.withColumnsRenamed({"_fid": "id2", "_v": "_v2"}), "id2")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x1 = np.stack(pdf["_v1"].to_numpy())
+            x2 = np.stack(pdf["_v2"].to_numpy())
+            yield pd.DataFrame(
+                {"id1": pdf["id1"], "id2": pdf["id2"], "sim": fn(x1, x2)}
+            )
+
+    return joined.mapInPandas(run, "id1 long, id2 long, sim double")

@@ -5,7 +5,10 @@ matric's population is a wide table of metadata + feature columns
 and the metadata columns are derived deterministically from the keys so
 Spark and the DuckDB oracle see identical inputs:
 
-- label            : replicate/group key (≙ Metadata_pert_name)
+- label            : replicate key (≙ Metadata_pert_name)
+- gene = label%5   : coarser group key (≙ Metadata_gene_name) — each
+                     gene has two non-reference labels (label, label+5)
+                     except gene 0 whose label 0 is the reference
 - batch = vec_id%4 : partition key (≙ Metadata_Plate)
 - is_ref = label=0 : reference cohort (≙ Metadata_gene_name == 'Chr2',
                      data-raw/cellhealth.R:1-45)
@@ -20,6 +23,7 @@ POPULATION_SQL = """
 SELECT vec_id AS id,
        embedding,
        label,
+       label % 5 AS gene,
        vec_id % 4 AS batch,
        label = 0 AS is_ref
 FROM embeddings
@@ -32,6 +36,7 @@ def population_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         F.col("embedding"),
         F.col("label"),
+        (F.col("label") % 5).alias("gene"),
         (F.col("vec_id") % 4).alias("batch"),
         (F.col("label") == 0).alias("is_ref"),
     )

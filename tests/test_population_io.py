@@ -1,0 +1,141 @@
+"""Tests for population utils (R/utils.R semantics), SimFrame
+construct/validate/IO (R/sim_construct-validate.R, R/sim_read-write.R
+round-trip, tests/testthat/test-sim_read-write.R:1-107), and the blocked
+sparse kernels (R/sparse.R ≡ dense recomputation,
+tests/testthat/test-sparse.R:1-56)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def wide_pop(spark):
+    rows = [
+        (1.0, "p1", 1.0, 2.0, None),
+        (2.0, "p1", 2.0, 4.0, 5.0),
+        (1.0, "p2", 3.0, 6.0, 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "Metadata_group double, Metadata_plate string, x double, y double, z double"
+    )
+
+
+def test_annotation_split(wide_pop):
+    from matric_spark.operators.population import (
+        annotation_cols,
+        drop_annotation,
+        get_annotation,
+    )
+
+    assert annotation_cols(wide_pop) == ["Metadata_group", "Metadata_plate"]
+    ann = get_annotation(wide_pop)
+    assert ann.columns == ["id", "Metadata_group", "Metadata_plate"]
+    assert sorted(r.id for r in ann.collect()) == [1, 2, 3]
+    assert drop_annotation(wide_pop).columns == ["x", "y", "z"]
+
+
+def test_preprocess_drops_na_columns(wide_pop):
+    from matric_spark.operators.population import preprocess_data
+
+    clean, dropped = preprocess_data(wide_pop)
+    assert dropped == ["z"]  # z has one NA → dropped entirely (R/utils.R:97-120)
+    assert clean.columns == ["Metadata_group", "Metadata_plate", "x", "y"]
+
+
+def test_assemble_population_runs_kernels(spark, wide_pop):
+    from matric_spark.operators.pairs import sim_calculate
+    from matric_spark.operators.population import assemble_population
+
+    pop = assemble_population(wide_pop)
+    assert pop.columns == ["id", "features", "Metadata_group", "Metadata_plate"]
+    sims = sim_calculate(pop, "cosine", strata=["Metadata_plate"]).collect()
+    # p1 rows are proportional in (x, y) → cosine 1
+    assert all(r.sim == pytest.approx(1.0) for r in sims)
+
+
+def test_simframe_validate_and_roundtrip(spark, tmp_path):
+    from matric_spark.operators.sim_io import (
+        SimValidationError,
+        referential_violations,
+        sim_new,
+        sim_read,
+        sim_write,
+    )
+
+    pairs = spark.createDataFrame([(1, 2, 0.5), (2, 1, 0.5)], "id1 long, id2 long, sim double")
+    meta = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    sf = sim_new(pairs, meta, {"method": "cosine"})
+
+    path = str(tmp_path / "sim")
+    sim_write(sf, path)
+    back = sim_read(spark, path)  # re-validates on load
+    assert sorted(map(tuple, back.pairs.collect())) == sorted(map(tuple, pairs.collect()))
+    assert back.metric_metadata == {"method": "cosine"}
+
+    # referential violation: id 3 not in metadata
+    bad_pairs = spark.createDataFrame([(1, 3, 0.1)], "id1 long, id2 long, sim double")
+    with pytest.raises(SimValidationError):
+        sim_new(bad_pairs, meta, {})
+    from matric_spark.operators.sim_io import SimFrame
+
+    v = referential_violations(SimFrame(bad_pairs, meta, {})).collect()
+    assert [(r.id1, r.id2, r.bad_side) for r in v] == [(1, 3, "id2")]
+
+    # structural errors
+    with pytest.raises(SimValidationError):
+        sim_new(spark.createDataFrame([(1,)], "id1 long"), meta, {})
+
+
+def test_lazy_pair_index_is_legal(spark):
+    """sim without a `sim` column validates (lazy mode,
+    R/sim_construct-validate.R:71-72)."""
+    from matric_spark.operators.sim_io import sim_new
+
+    pairs = spark.createDataFrame([(1, 2)], "id1 long, id2 long")
+    meta = spark.createDataFrame([(1,), (2,)], "id long")
+    assert sim_new(pairs, meta, {"lazy": True}).pairs.columns == ["id1", "id2"]
+
+
+def test_blocked_kernels_match_expression_path(spark):
+    """Differential: sparse/blocked numpy kernels ≡ the codegen
+    expression kernels (tests/testthat/test-sparse.R:1-56 shape)."""
+    from matric_spark.operators.pairs import attach_sim, within_group_pairs
+    from matric_spark.operators.sparse import pairwise_blocked
+
+    rows = [(i, [float(i * j % 7) + 1 for j in range(1, 9)], i % 3) for i in range(1, 25)]
+    pop = spark.createDataFrame(rows, "id long, features array<double>, g int")
+    pairs = within_group_pairs(pop, ["g"])
+
+    for kernel in ("cosine", "pearson"):
+        expr = {
+            (r.id1, r.id2): r.sim for r in attach_sim(pairs, pop, kernel).collect()
+        }
+        blocked = {
+            (r.id1, r.id2): r.sim
+            for r in pairwise_blocked(pairs, pop, kernel).collect()
+        }
+        assert set(expr) == set(blocked)
+        for k in expr:
+            assert blocked[k] == pytest.approx(expr[k], rel=1e-9), (kernel, k)
+
+
+def test_custom_kernel_plug_point(spark):
+    from matric_spark.operators.pairs import all_pairs
+    from matric_spark.operators.sparse import pairwise_blocked
+
+    pop = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id long, features array<double>"
+    )
+
+    def manhattan(x1, x2):
+        import numpy as np
+
+        return np.abs(x1 - x2).sum(axis=1)
+
+    out = {
+        (r.id1, r.id2): r.sim
+        for r in pairwise_blocked(all_pairs(pop), pop, manhattan).collect()
+    }
+    assert out[(1, 2)] == pytest.approx(4.0)

@@ -1,0 +1,66 @@
+"""Streaming validation tests: micro-batch ingestion through the shared
+state store must reproduce the batch suite verdicts (the streaming
+analog of the resumed ≡ fresh differential), plus the watermarked
+window monitor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matric_spark.checks.suite import SuiteConfig, run_verdicts
+
+
+def _rows(df):
+    return sorted(
+        (r.part, r.check_id, round(r.metric, 9), r.status) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def staged_stream_dir(spark, tiny_transcripts, tmp_path):
+    """Write the fixture as 3 parquet files, each holding COMPLETE
+    conversations (micro-batch = conversation-complete file; the
+    documented precondition for streaming sequence checks)."""
+    d = str(tmp_path / "incoming")
+    (
+        tiny_transcripts.repartition(F.crc32(F.col("conv_id")) % 3)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def test_streaming_equals_batch_verdicts(spark, tiny_transcripts, staged_stream_dir, tmp_path):
+    from matric_spark.streaming.validate import stream_verdicts, validated_stream
+
+    q = validated_stream(
+        spark,
+        staged_stream_dir,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = stream_verdicts(spark, str(tmp_path / "state"))
+    assert _rows(out) == _rows(run_verdicts(tiny_transcripts, SuiteConfig()))
+
+
+def test_windowed_rates_monitor(spark, staged_stream_dir):
+    from matric_spark.streaming.validate import stream_transcripts, windowed_rates
+
+    rates = windowed_rates(
+        stream_transcripts(spark, staged_stream_dir), window="1 hour"
+    )
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("rates_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from rates_test").collect()
+    assert sum(r.n_turns for r in got) == 10  # every fixture row counted
+    assert sum(r.null_text for r in got) == 1
+    assert sum(r.bad_role for r in got) == 1
+    assert all(r.window.start is not None for r in got)
