@@ -326,6 +326,23 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["metric"])
 
 
+def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.events import event_type_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _round6(
+        event_type_stats(ev),
+        ["avg_value", "min_value", "max_value", "p95_value"],
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _round6(sessionize(ev, gap_minutes=30), ["total_value"])
+
+
 def q_colstats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcript_df(spark, sf_dir).filter(F.col("text").isNotNull())
     out = t.groupBy("part_month").agg(
@@ -414,6 +431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colstats_quantiles": q_colstats_quantiles,
         "sketch_stats": q_sketch_stats,
         "incremental_verdicts": q_incremental_verdicts,
+        "events_stats": q_events_stats,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -622,5 +641,29 @@ FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
 
     # the resumed incremental run must equal the one-shot batch suite
     sql["incremental_verdicts"] = sql["verdicts"]
+
+    sql["events_stats"] = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(avg(value), 6) AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value
+FROM events GROUP BY event_type"""
+
+    sql["events_sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+b AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk FROM g),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM b)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_id"""
 
     return sql
