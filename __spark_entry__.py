@@ -326,6 +326,19 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["metric"])
 
 
+def q_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant: per-turn text equality under the
+    stable (conv_id, turn_idx) window ordering. Self-comparison of the
+    derived table MUST yield zero violation rows (mutated-reference
+    cases are covered in tests/test_checks.py::test_text_parity)."""
+    from matric_spark.checks.sequence import text_parity
+
+    t = transcript_df(spark, sf_dir)
+    return text_parity(t, transcript_df(spark, sf_dir)).select(
+        "conv_id", "seq", "text_actual", "text_expected"
+    )
+
+
 def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.events import event_type_stats
 
@@ -433,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_verdicts": q_incremental_verdicts,
         "events_stats": q_events_stats,
         "events_sessionize": q_events_sessionize,
+        "text_parity": q_text_parity,
     }
 
 
@@ -665,5 +679,10 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, session_id"""
+
+    # self-parity is exactly zero violation rows
+    sql["text_parity"] = f"""{_T}
+SELECT conv_id, CAST(0 AS INT) AS seq, text AS text_actual, text AS text_expected
+FROM transcripts WHERE 1 = 0"""
 
     return sql

@@ -143,7 +143,11 @@ def ngram_jaccard_pairs(
     it set, dropped shingles also leave the intersection counts, making
     the jaccard a (slightly low) approximation — exact when max_df=None.
     """
-    sets = shingle_sets(docs, n=n)
+    # `sets` feeds three consumers (both join sides + sizes); persist so
+    # the shingle explode + md5 runs once, not per branch
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     join_sets = sets
     if max_df is not None:
         hot = sets.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -181,14 +185,20 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 32, n: int = 3, seed: int = 42
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    seed: int = 42,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame[doc_id, mh_0..mh_{k-1}]: classic Broder signatures.
 
     One aggregation computes every permutation's min — the shingle explode
     is shuffled once, grouped by doc, with map-side partial mins.
+    `sets` lets callers share a persisted shingle relation.
     """
-    sets = shingle_sets(docs, n=n)
+    if sets is None:
+        sets = shingle_sets(docs, n=n)
     params = minhash_params(num_hashes, seed=seed)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_PRIME).alias(f"mh_{i}")
@@ -213,7 +223,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, seed=seed)
+    from pyspark import StorageLevel
+
+    # shared by the signature build AND the verification join
+    sets = shingle_sets(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, seed=seed, sets=sets)
     band_hashes = F.array(
         *[
             md5_long(
@@ -240,7 +254,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sets = shingle_sets(docs, n=n)
     return _jaccard_for_pairs(cand, sets).filter(
         F.col("jaccard") >= threshold
     )
