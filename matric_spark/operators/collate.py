@@ -38,6 +38,7 @@ def sim_collate(
     any_different_cols_non_rep: list[str],
     all_same_cols_group: list[str] | None = None,
     any_different_cols_group: list[str] | None = None,
+    drop_group_spec: DataFrame | None = None,
     id_col: str = "id",
 ) -> DataFrame:
     """Typed pair index DataFrame[id1, id2, type].
@@ -45,7 +46,16 @@ def sim_collate(
     Optional 5th subset (R/sim_collate.R:460-478): `rep_group` — same
     group (e.g. same gene, `all_same_cols_group`) but different
     perturbation (`any_different_cols_group`), non-reference both sides.
+
+    `drop_group_spec` is step 0 (R/sim_collate.R:246-258): rows matching
+    the spec-by-example table (matric's EMPTY wells) are anti-joined out
+    of the population before ANY pair generation, which drops them from
+    both sides of every subset at once.
     """
+    if drop_group_spec is not None:
+        meta = meta.join(
+            F.broadcast(drop_group_spec), on=drop_group_spec.columns, how="left_anti"
+        )
     non_ref = meta.filter(~reference)
     refs = meta.filter(reference)
 

@@ -132,6 +132,27 @@ def filter_some_different(
     return out.drop(*[f"_l_{c}" for c in need], *[f"_r_{c}" for c in need])
 
 
+def filter_all_same_keep_some(
+    pairs: DataFrame,
+    meta: DataFrame,
+    all_same_cols: list[str],
+    keep_spec: DataFrame,
+    drop_spec: DataFrame | None = None,
+    keep_side: str = "id2",
+    drop_side: str = "id1",
+    id_col: str = "id",
+) -> DataFrame:
+    """Composition (R/sim_filter.R:294-333): semi-join `keep_side` to the
+    keep spec (e.g. the reference rows) ∘ all-same equality filter ∘
+    optional anti-join of `drop_side` (e.g. exclude reference rows from
+    the left)."""
+    out = filter_keep_some(pairs, meta, keep_spec, side=keep_side, id_col=id_col)
+    out = filter_all_same(out, meta, all_same_cols, id_col=id_col)
+    if drop_spec is not None:
+        out = filter_drop_some(out, meta, drop_spec, side=drop_side, id_col=id_col)
+    return out
+
+
 def drop_lower(pairs: DataFrame) -> DataFrame:
     """Upper triangle only (R/sim_filter.R:215-217)."""
     return pairs.filter(F.col("id1") > F.col("id2"))
