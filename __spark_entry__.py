@@ -339,6 +339,38 @@ def q_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity across the star schema: per-relation count
+    of child rows whose key has no parent (broadcast-anti-join shape of
+    checks/referential.py, generalized to table-valued domains)."""
+    from matric_spark.sources.testdata import load_tables
+
+    t = load_tables(
+        spark, sf_dir, ["orders", "customer", "lineitem", "part", "supplier", "nation"]
+    )
+    fks = [
+        ("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("customer.c_nationkey->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in fks:
+        orphans = child.select(F.col(ck).alias("_k")).join(
+            F.broadcast(parent.select(F.col(pk).alias("_k"))), "_k", "left_anti"
+        )
+        outs.append(
+            orphans.agg(
+                F.lit(name).alias("fk"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.events import event_type_stats
 
@@ -447,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stats": q_events_stats,
         "events_sessionize": q_events_sessionize,
         "text_parity": q_text_parity,
+        "fk_summary": q_fk_summary,
     }
 
 
@@ -679,6 +712,23 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, session_id"""
+
+    sql["fk_summary"] = """
+SELECT 'orders.o_custkey->customer' AS fk,
+       CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST((SELECT count(*) FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST((SELECT count(*) FROM customer c LEFT JOIN nation n
+             ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)"""
 
     # self-parity is exactly zero violation rows
     sql["text_parity"] = f"""{_T}

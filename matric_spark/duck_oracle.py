@@ -381,7 +381,8 @@ scf AS (SELECT * FROM sc WHERE m > 0 AND nbg > 0),
 bgs AS (SELECT id1, avg(sim) AS mean_stat, stddev_samp(sim) AS sd_stat
         FROM scf WHERE is_sig = 0 GROUP BY id1),
 sig AS (SELECT s.*, least(1.0, (1 + s.nbg - s.cle) / CAST(s.nbg AS DOUBLE)) AS relrank,
-               (s.sim - b.mean_stat) / b.sd_stat AS sim_scaled
+               CASE WHEN b.sd_stat <> 0
+                    THEN (s.sim - b.mean_stat) / b.sd_stat END AS sim_scaled
         FROM scf s JOIN bgs b ON b.id1 = s.id1 WHERE s.is_sig = 1),
 agg AS (SELECT s.id1, any_value(s.label1) AS label1,
                avg(s.sim_scaled) AS v_scaled_mean,

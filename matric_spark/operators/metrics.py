@@ -116,9 +116,14 @@ def sim_metrics(
             F.stddev_samp("sim").alias("sim_sd_stat"),
         )
     )
+    # sd == 0 (constant background) → NULL, matching R's NaN from
+    # (x-m)/0 semantically; under ANSI mode a bare division would throw
     signal = signal.join(bg_stats, summary_cols).withColumn(
         "sim_scaled",
-        (F.col("sim") - F.col("sim_mean_stat")) / F.col("sim_sd_stat"),
+        F.when(
+            F.col("sim_sd_stat") != 0,
+            (F.col("sim") - F.col("sim_mean_stat")) / F.col("sim_sd_stat"),
+        ),
     )
 
     per_group = signal.groupBy(*summary_cols).agg(
