@@ -139,3 +139,20 @@ def test_custom_kernel_plug_point(spark):
         for r in pairwise_blocked(all_pairs(pop), pop, manhattan).collect()
     }
     assert out[(1, 2)] == pytest.approx(4.0)
+
+
+def test_sim_wider_symmetry(spark):
+    from matric_spark.operators.sim_wider import sim_wider
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 0.5), (1, 3, 0.2), (3, 1, 0.2), (2, 3, 0.9), (3, 2, 0.9)],
+        "id1 long, id2 long, sim double",
+    )
+    wide = sim_wider(pairs).collect()
+    assert [r.id1 for r in wide] == [1, 2, 3]  # row order == column order
+    m = [[r[str(c)] for c in (1, 2, 3)] for r in wide]
+    for i in range(3):
+        assert m[i][i] == 1.0  # filled diagonal
+        for j in range(3):
+            assert m[i][j] == m[j][i]  # symmetric
+    assert m[0][1] == 0.5 and m[1][2] == 0.9
