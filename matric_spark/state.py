@@ -99,6 +99,27 @@ class StateStore:
             return []
         return [r.part for r in log.select("part").distinct().collect()]
 
+    @staticmethod
+    def _no_run_id(df: DataFrame) -> DataFrame:
+        return df.drop("run_id") if "run_id" in df.columns else df
+
+    def key_index_for(self, fingerprint: str, cfg) -> DataFrame:
+        """Merged key index with batch/resume dedup semantics: appends
+        are whole partitions, so duplicate (key, part) rows across
+        run_ids are replays of identical data — keep one."""
+        return self._no_run_id(
+            self._for("key_index", fingerprint).dropDuplicates(
+                [*cfg.key, "part"]
+            )
+        )
+
+    def sketch_for(self, fingerprint: str) -> DataFrame:
+        """Merged drift sketch, whole-partition replay dedup (see
+        key_index_for)."""
+        return self._no_run_id(
+            self._for("sketch", fingerprint).dropDuplicates(["p", "v"])
+        )
+
 
 def run_incremental(
     spark: SparkSession,
@@ -150,14 +171,23 @@ def run_incremental(
         )
         store._append(local, "local", fingerprint)
 
-        # key index: per-partition key counts (uniqueness merges these)
-        key_index = remaining.groupBy(*cfg.key, F.col(p).alias("part")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        # key index: per-partition key counts (uniqueness merges these).
+        # run_id rides along so readers can tell appends apart: the batch
+        # path dedups on the natural key (a crashed run re-appends whole
+        # partitions → identical rows under a new run_id), the streaming
+        # path dedups on (run_id, natural key) and SUMS (distinct
+        # micro-batches legitimately append the same key again).
+        key_index = (
+            remaining.groupBy(*cfg.key, F.col(p).alias("part"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("run_id", F.lit(run_id))
         )
         store._append(key_index, "key_index", fingerprint)
 
-        # drift sketch: per-partition value counts
-        sketch = _counts(remaining, p, F.length("text"))
+        # drift sketch: per-partition value counts (same run_id contract)
+        sketch = _counts(remaining, p, F.length("text")).withColumn(
+            "run_id", F.lit(run_id)
+        )
         store._append(sketch, "sketch", fingerprint)
 
         log = (
@@ -187,9 +217,13 @@ def assemble_verdicts(
     assert local is not None, "no completed partitions in state"
     local = local.dropDuplicates(["part"]).drop("run_id")
 
-    key_index = store._for("key_index", fingerprint).dropDuplicates(
-        [*cfg.key, "part"]
-    )
+    # batch/resume semantics: appends are WHOLE partitions, so rows
+    # repeated under a different run_id (crash between state append and
+    # log append, then re-run) are exact duplicates — dedup on the
+    # natural key. Streaming overrides these accessors with per-batch
+    # folds (streaming/validate.stream_verdicts) because there the same
+    # natural key across run_ids is NEW data, not a replay.
+    key_index = store.key_index_for(fingerprint, cfg)
     glob = key_index.groupBy(*cfg.key).agg(F.sum("cnt").alias("_g"))
     dup_keys = glob.filter(F.col("_g") > 1).select(*cfg.key)
     uniq = (
@@ -198,7 +232,7 @@ def assemble_verdicts(
         .agg(F.sum("cnt").alias("uniqueness"))
     )
 
-    sketch = store._for("sketch", fingerprint).dropDuplicates(["p", "v"])
+    sketch = store.sketch_for(fingerprint)
     ks = ks_by_partition(None, "part", None, precomputed=sketch).select(
         "part", "ks_d"
     )

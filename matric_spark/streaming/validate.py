@@ -85,9 +85,11 @@ def validated_stream(
     into the SAME StateStore layout as `state.run_incremental`; final
     verdicts come from `state.assemble_verdicts`, so streaming ingestion
     and batch backfill are interchangeable (differential-tested).
-    Exactly-once: foreachBatch may retry a batch; all appends carry the
-    batch id in `run_id` and the state readers dedup on natural keys
-    (see StateStore usage in state.assemble_verdicts).
+    Exactly-once: foreachBatch may retry a batch; ALL appends (local,
+    key index, sketch, log) carry the batch id in `run_id`, and
+    `stream_verdicts` dedups on (run_id, natural key) before summing —
+    retries collapse, while legitimate re-occurrences of a key in later
+    batches are preserved (they are new data, not replays).
     """
     cfg = cfg or SuiteConfig()
     p = cfg.partition_col
@@ -116,12 +118,21 @@ def validated_stream(
         )
         store._append(local, "local", fingerprint)
 
-        key_index = batch.groupBy(*cfg.key, F.col(p).alias("part")).agg(
-            F.count(F.lit(1)).alias("cnt")
+        # run_id = batch id: stream_verdicts dedups appends on
+        # (run_id, natural key) — a foreachBatch RETRY (same batch id)
+        # collapses, while a genuinely new batch carrying the same
+        # natural key again is summed, so cross-batch duplicate keys and
+        # partition-spanning sketch counts stay correct.
+        key_index = (
+            batch.groupBy(*cfg.key, F.col(p).alias("part"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("run_id", F.lit(run_id))
         )
         store._append(key_index, "key_index", fingerprint)
 
-        sketch = _counts(batch, p, F.length("text"))
+        sketch = _counts(batch, p, F.length("text")).withColumn(
+            "run_id", F.lit(run_id)
+        )
         store._append(sketch, "sketch", fingerprint)
 
         log = (
@@ -149,12 +160,16 @@ def stream_verdicts(
     """Assemble the verdict table from streaming-appended state.
 
     NOTE on semantics vs batch: micro-batches may split one data
-    partition across appends, so per-partition LOCAL metrics are summed
-    over appends here (the batch path writes one row per partition).
-    Uniqueness/drift are unaffected (their state is merged by key
-    anyway). Sequence ordering is validated within each micro-batch
-    (cross-batch reordering needs event-time windows — `windowed_rates`
-    — or the batch path)."""
+    partition across appends, so EVERY state relation is folded per
+    batch here — local metrics, the key index, and the drift sketch are
+    deduped on (run_id, natural key) to absorb foreachBatch retries,
+    then SUMMED across batches. Deduping on the natural key alone (the
+    batch/resume semantics) would silently collapse a duplicate key
+    split across two micro-batches to uniqueness=0/pass and undercount
+    sketch values whenever a data partition spans batches. Sequence
+    ordering is validated within each micro-batch (cross-batch
+    reordering needs event-time windows — `windowed_rates` — or the
+    batch path)."""
     cfg = cfg or SuiteConfig()
     from matric_spark.state import StateStore, assemble_verdicts
 
@@ -175,12 +190,30 @@ def stream_verdicts(
             ]
         )
     )
+    key_folded = (
+        store._for("key_index", fingerprint)
+        .dropDuplicates(["run_id", *cfg.key, "part"])
+        .groupBy(*cfg.key, "part")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    sketch_folded = (
+        store._for("sketch", fingerprint)
+        .dropDuplicates(["run_id", "p", "v"])
+        .groupBy("p", "v")
+        .agg(F.sum("c").alias("c"))
+    )
 
     class _FoldedStore(StateStore):
         def _for(self, name: str, fp: str, schema: str | None = None):
             if name == "local":
                 return folded
             return StateStore._for(self, name, fp, schema)
+
+        def key_index_for(self, fp: str, _cfg):
+            return key_folded
+
+        def sketch_for(self, fp: str):
+            return sketch_folded
 
     fs = _FoldedStore(spark, state_dir)
     return assemble_verdicts(spark, fs, fingerprint, cfg)

@@ -45,6 +45,54 @@ def test_streaming_equals_batch_verdicts(spark, tiny_transcripts, staged_stream_
     assert _rows(out) == _rows(run_verdicts(tiny_transcripts, SuiteConfig()))
 
 
+def test_streaming_cross_batch_duplicate_key_fails_uniqueness(spark, tmp_path):
+    """Regression: a duplicate (conv_id, turn_idx) SPLIT ACROSS two
+    micro-batches must be reported exactly like the batch suite reports
+    it (uniqueness=2/fail), and sketch counts must sum across batches
+    when a data partition spans them. Deduping state on natural keys
+    alone silently false-passed this."""
+    import datetime as dt
+
+    from matric_spark.streaming.validate import stream_verdicts, validated_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    ddl = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, part_month int"
+    )
+    # same (conv_id, turn_idx) in both batches; same text length so the
+    # sketch rows collide on (p, v) too; a second partition so drift has
+    # a complement cohort
+    b1 = spark.createDataFrame(
+        [
+            ("D", 0, "user", "xx", None, t0, 1),
+            ("E", 0, "user", "yyyy", None, t0, 2),
+        ],
+        ddl,
+    )
+    b2 = spark.createDataFrame(
+        [("D", 0, "user", "zz", None, t0 + dt.timedelta(seconds=5), 1)], ddl
+    )
+    d = str(tmp_path / "incoming2")
+    b1.coalesce(1).write.mode("append").parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+
+    q = validated_stream(
+        spark,
+        d,
+        state_dir=str(tmp_path / "state2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    out = stream_verdicts(spark, str(tmp_path / "state2"))
+    got = {(r.part, r.check_id): (r.metric, r.status) for r in out.collect()}
+    assert got[(1, "uniqueness")] == (2.0, "fail")
+    # full equivalence with the one-shot batch suite (covers the sketch
+    # fold: KS/PSI values differ if cross-batch counts are collapsed)
+    batch = run_verdicts(b1.unionByName(b2), SuiteConfig())
+    assert _rows(out) == _rows(batch)
+
+
 def test_windowed_rates_monitor(spark, staged_stream_dir):
     from matric_spark.streaming.validate import stream_transcripts, windowed_rates
 
