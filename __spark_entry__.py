@@ -186,10 +186,17 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH recall misses are inherent → no exact oracle (rows-only check);
     # recall vs the exact variant is differential-tested in pytest.
+    # The testdata embeddings are near-random (max cosine ~0.5), so this
+    # entry uses the low-threshold parametrization (16 bands × 8 bits =
+    # 128 planes); production near-dup (threshold ≥ 0.9) uses the
+    # 12 × 16 default — see embedding_near_dup_lsh's docstring.
     from matric_spark.operators.ann import embedding_near_dup_lsh
 
     return _round6(
-        embedding_near_dup_lsh(_emb(spark, sf_dir), 64, 0.4), ["cosine"]
+        embedding_near_dup_lsh(
+            _emb(spark, sf_dir), 64, 0.4, n_bands=16, band_bits=8
+        ),
+        ["cosine"],
     )
 
 

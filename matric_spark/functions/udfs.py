@@ -26,3 +26,25 @@ def make_hyperplane_signature_udf(planes: "np.ndarray"):
         return pd.Series(bits @ weights)
 
     return sig
+
+
+def make_hyperplane_bands_udf(planes: "np.ndarray", n_bands: int, band_bits: int):
+    """Banded sign-bit LSH: one (batch × dim) @ (dim × n_bands·band_bits)
+    matmul per Arrow batch, sign bits packed per band into one integer
+    band value each → array<long>[n_bands]. Emitting band values directly
+    (instead of one wide signature that is re-chunked downstream) keeps
+    the candidate join payload to (id, band_idx, band_val) — no vector
+    bytes ever enter the exchange."""
+    assert planes.shape[0] == n_bands * band_bits
+    weights = np.left_shift(
+        np.int64(1), np.arange(band_bits, dtype=np.int64)
+    )
+
+    @pandas_udf("array<long>")
+    def bands(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (mat @ planes.T >= 0.0).astype(np.int64)
+        vals = bits.reshape(len(mat), n_bands, band_bits) @ weights
+        return pd.Series(list(vals))
+
+    return bands

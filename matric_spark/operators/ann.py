@@ -4,12 +4,19 @@ Two tiers, per the standard scale playbook:
 - **brute-force cosine** — exact, O(N·Q) (top-k) or O(N²) (near-dup):
   the correctness baseline and the oracle-checked path. All math is
   Column expressions (codegen; no Python).
-- **hyperplane LSH** — the 100 TB path: 16 deterministic random
-  hyperplanes → sign-bit signature (vectorized Arrow UDF, one numpy
-  matmul per batch) → equi-join on 4-bit signature chunks → exact cosine
-  verification on the candidate set only. Recall is differential-tested
-  against brute force (tests/test_ops.py); misses are inherent to LSH so
-  this variant is excluded from the exact oracle gate.
+- **hyperplane LSH** — the 100 TB path: n_bands·band_bits deterministic
+  random hyperplanes (default 12×16 = 192) → per-band sign-bit values
+  (vectorized Arrow UDF, one numpy matmul per batch) → equi-join on
+  (band_idx, band_val) carrying IDS ONLY (vectors re-join for
+  verification) → exact cosine on the candidate set. Bucket cardinality
+  per band is 2^band_bits (65,536 at the default), so the expected
+  random-pair candidate count is n_bands·N²/2^(band_bits+1) ≈ N²/10,900
+  — the sub-quadratic-in-practice blocking the scale story needs, while
+  12 bands keep recall ≥ 0.9 at cosine 0.95 (per-band collide prob
+  (1−θ/π)^16 ≈ 0.18, 1−(1−0.18)^12 ≈ 0.91; higher cosine → higher
+  recall). Recall is differential-tested against brute force on planted
+  near-dups (tests/test_ops.py); misses are inherent to LSH so this
+  variant is excluded from the exact oracle gate.
 
 Reference lineage: matric's cosine kernel is row-normalize + tcrossprod
 (R/sim_calculate.R:126-128, R/sparse.R:186-190); its blocked sparse
@@ -24,8 +31,7 @@ from pyspark.sql import functions as F
 
 from matric_spark.functions.vector import dot
 
-N_PLANES = 16
-_CHUNK_BITS = 4
+N_PLANES = 16  # hyperplane_signatures default (single packed signature)
 
 
 def _lcg_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -143,50 +149,82 @@ def hyperplane_signatures(
     )
 
 
-def embedding_near_dup_lsh(
+def lsh_candidate_pairs(
     emb: DataFrame,
     dim: int,
-    threshold: float = 0.95,
-    n_planes: int = N_PLANES,
+    n_bands: int = 12,
+    band_bits: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs via signature-chunk blocking + exact verification.
+    """Candidate id pairs agreeing on ≥1 sign-bit band: DataFrame[id1, id2].
 
-    Candidates = pairs agreeing on ≥1 of the 4-bit signature chunks
-    (equi-join keyed on (chunk_idx, chunk_val) — uniform buckets, no
-    cross join); survivors verified with the exact cosine expression.
+    The exchange before the self-join carries ONLY (vec_id, band_idx,
+    band_val) — never the embedding (vector bytes would otherwise be
+    shuffled n_bands× before any pruning; tests/test_plans.py pins this).
+    Bucket skew on real (clustered) data is handled by AQE skew-join
+    (session.py); raising band_bits is the structural lever.
     """
-    normed = _normalized(emb, id_col, vec_col, id_col, vec_col)
-    sigs = hyperplane_signatures(
-        normed, dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    import numpy as np
+
+    from matric_spark.functions.udfs import make_hyperplane_bands_udf
+
+    planes = np.array(
+        _lcg_planes(n_bands * band_bits, dim, seed=seed), dtype=np.float64
     )
-    n_chunks = n_planes // _CHUNK_BITS
-    chunk_arr = F.array(
-        *[
-            F.shiftright(F.col("sig"), c * _CHUNK_BITS).bitwiseAND(
-                F.lit((1 << _CHUNK_BITS) - 1)
-            )
-            for c in range(n_chunks)
-        ]
+    bands_udf = make_hyperplane_bands_udf(planes, n_bands, band_bits)
+    banded = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(bands_udf(F.col(vec_col))).alias("band_idx", "band_val"),
     )
-    chunked = sigs.select(
-        "vec_id", "v", F.posexplode(chunk_arr).alias("chunk_idx", "chunk_val")
-    )
-    cand = (
-        chunked.alias("x")
-        .join(chunked.alias("y"), ["chunk_idx", "chunk_val"])
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_val"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
-            F.col("x.vec_id").alias("id1"),
-            F.col("y.vec_id").alias("id2"),
-            F.col("x.v").cast("array<double>").alias("v1"),
-            F.col("y.v").cast("array<double>").alias("v2"),
+            F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2")
         )
         .dropDuplicates(["id1", "id2"])
     )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_bands: int = 12,
+    band_bits: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via banded-signature blocking + exact verification
+    (candidates-then-verify, the shape of R/sparse.R:20-48 with LSH
+    buckets as the blocks — same as dedup.minhash_lsh_pairs).
+
+    Defaults (12 bands × 16 bits = 192 planes) target near-dup recall
+    ≥ 0.9 at cosine ≥ 0.95 with ~N²/10,900 random-pair candidates; for
+    LOWER thresholds trade bits for bands (e.g. 16 × 8 recalls ~1/3 of
+    cosine-0.4 pairs at ~N²/32 candidates). Verification re-joins the
+    normalized vectors to the id-only candidate list and keeps exact
+    cosine ≥ threshold, so precision is always exact; only recall is
+    probabilistic.
+    """
+    normed = _normalized(emb, id_col, vec_col, "vec_id", "v")
+    cand = lsh_candidate_pairs(
+        normed,
+        dim,
+        n_bands=n_bands,
+        band_bits=band_bits,
+        seed=seed,
+        id_col="vec_id",
+        vec_col="v",
+    )
+    feats = normed.select("vec_id", "v")
     return (
-        cand.select("id1", "id2", dot("v1", "v2").alias("cosine"))
+        cand.join(feats.withColumnsRenamed({"vec_id": "id1", "v": "v1"}), "id1")
+        .join(feats.withColumnsRenamed({"vec_id": "id2", "v": "v2"}), "id2")
+        .select("id1", "id2", dot("v1", "v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

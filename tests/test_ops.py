@@ -110,8 +110,40 @@ def test_embedding_near_dup_lsh_recall(spark, tiny_vectors):
         (r.id1, r.id2)
         for r in embedding_near_dup_lsh(tiny_vectors, dim=4, threshold=0.9).collect()
     }
-    # at cosine ~1 the hyperplane signatures agree on every chunk → full recall
+    # at cosine ~1 the hyperplane signatures agree on every band → full recall
     assert lsh == exact
+
+
+def test_embedding_near_dup_lsh_planted_recall(spark):
+    """Recall bound at the default (sub-quadratic) parametrization:
+    12 bands × 16 bits = 65,536 buckets per band. 40 planted clusters of
+    3 noisy copies each (cosine ≥ ~0.97); theoretical recall ≥ 0.97 at
+    that cosine, assert ≥ 0.9 with margin. Precision is exact by
+    construction (verification step), so lsh ⊆ exact always."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(40):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.normal(size=32) * 0.03
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from matric_spark.operators.ann import embedding_near_dup, embedding_near_dup_lsh
+
+    exact = {(r.id1, r.id2) for r in embedding_near_dup(emb, 0.95).collect()}
+    lsh = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_lsh(emb, dim=32, threshold=0.95).collect()
+    }
+    assert lsh <= exact  # never invents pairs
+    assert len(exact) >= 40  # the plant worked
+    assert len(lsh) / len(exact) >= 0.9
 
 
 def test_ann_topk_ordering(spark, tiny_vectors):

@@ -124,6 +124,32 @@ def test_uniqueness_hash_phase_aggregates_on_long(spark, transcripts_parquet):
     assert "CartesianProduct" not in p
 
 
+def test_lsh_candidate_exchange_carries_ids_only(spark):
+    """The ANN LSH candidate join must shuffle (vec_id, band_idx,
+    band_val) only — never the embedding vector (which is n_bands× the
+    bytes after the posexplode). The vectors re-join AFTER candidate
+    dedup, for verification."""
+    import re
+
+    from matric_spark.operators.ann import lsh_candidate_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plan(lsh_candidate_pairs(emb, dim=4))
+    # formatted plan: each node block has "Output [k]: [cols]"; every
+    # Exchange node's output must be free of array-typed vector columns
+    blocks = re.split(r"\n\(\d+\) ", p)
+    exchanges = [b for b in blocks if b.startswith("Exchange")]
+    assert exchanges, "expected at least one exchange in the candidate join"
+    for b in exchanges:
+        out_line = next(
+            (ln for ln in b.splitlines() if ln.strip().startswith("Output")), ""
+        )
+        assert "embedding" not in out_line and " v#" not in out_line, out_line
+
+
 def test_metrics_reuses_exchange_across_branches(spark):
     """sim_metrics' four consumers must reuse the persisted/exchanged
     scored relation, not recompute the pair pipeline per branch."""
