@@ -154,13 +154,37 @@ jac AS (
   FROM shared s JOIN sizes x ON x.doc_id = s.id1 JOIN sizes y ON y.doc_id = s.id2)"""
 
 
-def ngram_jaccard_sql(threshold: float = 0.1, n: int = 3) -> str:
-    return f"""
+def ngram_jaccard_sql(
+    threshold: float = 0.1,
+    n: int = 3,
+    max_df_frac: float | None = 0.05,
+    min_df_floor: int = 100,
+) -> str:
+    if max_df_frac is None:
+        return f"""
 WITH {_shingle_sets_sql(n)},
 cand AS (
   SELECT DISTINCT a.doc_id id1, b.doc_id id2
   FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id),
 {_JACCARD_VERIFY}
+SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
+    # stop-shingle cut variant mirroring ngram_jaccard_pairs' default:
+    # shared counts from the CUT sets (hot shingles leave the
+    # intersection), set sizes from the FULL sets
+    return f"""
+WITH {_shingle_sets_sql(n)},
+hot AS (SELECT h FROM sets GROUP BY h
+        HAVING count(*) > greatest({max_df_frac} * (SELECT count(*) FROM documents),
+                                   {float(min_df_floor)})),
+cut AS (SELECT s.* FROM sets s ANTI JOIN hot USING (h)),
+shared AS (
+  SELECT a.doc_id id1, b.doc_id id2, CAST(count(*) AS BIGINT) shared
+  FROM cut a JOIN cut b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sets GROUP BY 1),
+jac AS (
+  SELECT s.id1, s.id2, s.shared / CAST(x.n + y.n - s.shared AS DOUBLE) AS jaccard
+  FROM shared s JOIN sizes x ON x.doc_id = s.id1 JOIN sizes y ON y.doc_id = s.id2)
 SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
 
 

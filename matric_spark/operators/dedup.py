@@ -134,14 +134,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
     n: int = 3,
     max_df: int | None = None,
+    max_df_frac: float | None = 0.05,
+    min_df_floor: int = 100,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
     Candidates = docs sharing ≥1 shingle (equi-join on shingle hash).
-    `max_df` drops shingles appearing in more than max_df docs before the
-    join — the scale lever that bounds per-key fan-out (skew kill); with
-    it set, dropped shingles also leave the intersection counts, making
-    the jaccard a (slightly low) approximation — exact when max_df=None.
+    A shingle present in k docs yields C(k,2) candidate rows, so ONE
+    boilerplate shingle in a crawl corpus is a quadratic blowup — the
+    stop-shingle cut is therefore ON BY DEFAULT: shingles appearing in
+    more than max(`max_df_frac` · n_docs, `min_df_floor`) docs are
+    dropped before the join (the relative form survives a scale-up; the
+    floor keeps small corpora exact — C(100,2) candidate rows per
+    shingle is harmless, so only genuinely hot shingles are cut).
+    `max_df` (absolute) overrides both. Dropped shingles also leave the
+    intersection counts, so jaccard is a (slightly low) approximation
+    for affected pairs; pass max_df=None, max_df_frac=None for the
+    exact unbounded join. tests/test_skew.py stress-tests the
+    50%-boilerplate case.
     """
     # `sets` feeds three consumers (both join sides + sizes); persist so
     # the shingle explode + md5 runs once, not per branch
@@ -149,10 +159,19 @@ def ngram_jaccard_pairs(
 
     sets = shingle_sets(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     join_sets = sets
-    if max_df is not None:
-        hot = sets.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") > max_df
-        )
+    if max_df is not None or max_df_frac is not None:
+        dfs = sets.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            hot = dfs.filter(F.col("df") > max_df)
+        else:
+            n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+            cutoff = F.greatest(
+                F.lit(max_df_frac) * F.col("_n"),
+                F.lit(float(min_df_floor)),
+            )
+            hot = dfs.crossJoin(F.broadcast(n_docs)).filter(
+                F.col("df") > cutoff
+            )
         join_sets = sets.join(hot.select("h"), "h", "left_anti")
     a = join_sets.select(F.col("doc_id").alias("id1"), "h")
     b = join_sets.select(F.col("doc_id").alias("id2"), "h")

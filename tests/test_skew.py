@@ -69,6 +69,39 @@ def test_suite_correct_under_skew(spark, skewed_transcripts):
     assert v[(1, "drift_ks")][1] == "fail" and v[(2, "drift_ks")][1] == "fail"
 
 
+def test_ngram_jaccard_stop_shingle_cut_bounds_hot_fanout(spark):
+    """One boilerplate sentence in 50% of 2,000 docs: the default
+    stop-shingle cut must (a) keep the candidate join sub-quadratic —
+    the boilerplate shingles alone would be 3·C(1000,2) ≈ 1.5M candidate
+    rows — and (b) still find the genuinely similar pair."""
+    from matric_spark.operators.dedup import ngram_jaccard_pairs, shingle_sets
+
+    boiler = "click here to subscribe to our newsletter today"
+    rows = []
+    for i in range(2000):
+        uniq = f"document {i} body token{i}a token{i}b token{i}c token{i}d"
+        rows.append((i, (uniq + " " + boiler) if i % 2 == 0 else uniq))
+    # one planted near-dup pair that shares non-boilerplate shingles
+    rows.append((9001, "the quick brown fox jumps over the lazy dog"))
+    rows.append((9002, "the quick brown fox jumps over the lazy cat"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    assert (9001, 9002) in got
+    # no boilerplate-only pair survives: docs 0 and 2 share ONLY the
+    # boilerplate shingles, which the cut removed
+    assert not any(i1 < 2000 and i2 < 2000 for i1, i2 in got)
+
+    # the cut itself is the fan-out bound: post-cut, no shingle has
+    # df > cutoff, so per-shingle candidate fan-out is C(cutoff, 2) max
+    sets = shingle_sets(docs)
+    hot_df = (
+        sets.groupBy("h").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    assert hot_df >= 1000  # the plant really is pathological
+
+
 def test_collate_drop_group_and_keep_some(spark):
     """matric step 0 (drop EMPTY) + the filter composition."""
     from matric_spark.operators.collate import sim_collate
