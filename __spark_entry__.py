@@ -241,7 +241,9 @@ def _level10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.metrics import sim_annotate, sim_metrics
 
     sims = _collated_sims(spark, sf_dir)
-    ann = sim_annotate(sims, _population(spark, sf_dir), ["label"], side="id1")
+    # both-side annotate (the reference default); sim_metrics projects
+    # to its summary cols, so label2 rides along only until then
+    ann = sim_annotate(sims, _population(spark, sf_dir), ["label"], side="both")
     return sim_metrics(ann, ["id1", "label1"])
 
 
@@ -262,6 +264,30 @@ def _q_sim_strata(kernel: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def q_sim_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(_collated_sims(spark, sf_dir), ["sim"])
+
+
+def q_sim_collate_alldiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collate with all_different_cols_non_rep non-empty: the background
+    arm keeps only pairs whose gene ALSO differs (theta-filter with both
+    strong and weak difference constraints, R/sim_collate.R:419-438 via
+    the composed sim_filter path)."""
+    from matric_spark.operators.collate import sim_collate
+    from matric_spark.operators.pairs import attach_sim
+
+    pop = _population(spark, sf_dir)
+    coll = sim_collate(
+        pop,
+        reference=F.col("is_ref"),
+        all_same_cols_ref=["batch"],
+        all_same_cols_rep=["label"],
+        all_same_cols_non_rep=["batch"],
+        any_different_cols_non_rep=["label"],
+        all_different_cols_non_rep=["gene"],
+    )
+    sims = attach_sim(
+        coll, pop, kernel="cosine", vec_col="embedding", keep_cols=["type"]
+    )
+    return _round6(sims, ["sim"])
 
 
 def q_sim_metrics_level10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +324,7 @@ def q_sim_metrics_level21(spark: SparkSession, sf_dir: str) -> DataFrame:
         any_different_cols_group=["label"],
     )
     sims = attach_sim(coll, pop, kernel="cosine", vec_col="embedding", keep_cols=["type"])
-    ann = sim_annotate(sims, pop, ["gene"], side="id1")
+    ann = sim_annotate(sims, pop, ["gene"], side="both")
     out = sim_metrics(
         ann, ["id1", "gene1"], signal_type="rep_group", identifier="g"
     )
@@ -475,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pearson_strata": _q_sim_strata("pearson"),
         "sim_euclidean_strata": _q_sim_strata("euclidean"),
         "sim_collate": q_sim_collate,
+        "sim_collate_alldiff": q_sim_collate_alldiff,
         "sim_metrics_level10": q_sim_metrics_level10,
         "sim_metrics_level1": q_sim_metrics_level1,
         "sim_metrics_level21": q_sim_metrics_level21,
@@ -680,6 +707,7 @@ GROUP BY 1 HAVING count(*) > 1"""
     sql["sim_pearson_strata"] = dk.sim_strata_sql("pearson")
     sql["sim_euclidean_strata"] = dk.sim_strata_sql("euclidean")
     sql["sim_collate"] = dk.sim_collate_sql()
+    sql["sim_collate_alldiff"] = dk.sim_collate_sql(non_rep_alldiff_gene=True)
     sql["sim_metrics_level10"] = dk.sim_metrics_level10_sql()
     sql["sim_metrics_level1"] = dk.sim_metrics_level1_sql()
     sql["sim_metrics_level21"] = dk.sim_metrics_level21_sql()

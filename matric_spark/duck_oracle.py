@@ -357,11 +357,21 @@ FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id"""
     raise ValueError(kernel)
 
 
-def sim_collate_sql() -> str:
-    """Typed collated pairs with cosine sim."""
+def sim_collate_sql(non_rep_alldiff_gene: bool = False) -> str:
+    """Typed collated pairs with cosine sim. With `non_rep_alldiff_gene`
+    the non_rep arm additionally requires gene to differ — the
+    all_different_cols_non_rep path (R/sim_collate.R:419-438,
+    fetch_non_rep gate at :231-234)."""
+    collate = _COLLATE
+    if non_rep_alldiff_gene:
+        collate = collate.replace(
+            "ON a.batch = b.batch AND a.label <> b.label AND a.id <> b.id",
+            "ON a.batch = b.batch AND a.gene <> b.gene"
+            " AND a.label <> b.label AND a.id <> b.id",
+        )
     return f"""
 WITH {_POP},
-{_COLLATE},
+{collate},
 {_SIMS}
 SELECT id1, id2, type, round(sim, 6) AS sim FROM sims"""
 

@@ -36,6 +36,7 @@ def sim_collate(
     all_same_cols_rep: list[str],
     all_same_cols_non_rep: list[str],
     any_different_cols_non_rep: list[str],
+    all_different_cols_non_rep: list[str] | None = None,
     all_same_cols_group: list[str] | None = None,
     any_different_cols_group: list[str] | None = None,
     drop_group_spec: DataFrame | None = None,
@@ -84,12 +85,15 @@ def sim_collate(
     )
 
     # non_rep: background — same partition, different perturbation,
-    # non-reference both sides (R/sim_collate.R:419-438)
+    # optionally all-different on every all_different_cols_non_rep
+    # (R/sim_collate.R:419-438; the reference's fetch_non_rep gate at
+    # :231-234 requires all three constraint sets)
     universe = within_group_pairs(non_ref, all_same_cols_non_rep, id_col=id_col)
     non_rep_pairs = filter_some_different(
         universe,
         non_ref,
         all_same_cols=all_same_cols_non_rep,
+        all_different_cols=all_different_cols_non_rep,
         any_different_cols=any_different_cols_non_rep,
         id_col=id_col,
     ).withColumn("type", F.lit("non_rep"))

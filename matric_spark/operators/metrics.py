@@ -35,11 +35,19 @@ def sim_annotate(
     pairs: DataFrame,
     meta: DataFrame,
     annotation_cols: list[str],
-    side: str = "id1",
+    side: str = "both",
     id_col: str = "id",
 ) -> DataFrame:
-    """Attach metadata columns to one pair side (R/sim_annotate.R:31-73).
-    Metadata is the small relation → broadcast inner join."""
+    """Attach metadata columns to pair sides (R/sim_annotate.R:31-73).
+
+    `side` ∈ {"id1", "id2", "both"} ≙ the reference's index ∈ {"left",
+    "right", "both"}; "both" (the reference default, used by every
+    metrics consumer in its vignette) joins each side once with `1`/`2`
+    suffixes — matching R/sim_annotate.R:61-70's suffix = c("1", "2").
+    Metadata is the small relation → broadcast inner joins."""
+    if side == "both":
+        out = sim_annotate(pairs, meta, annotation_cols, "id1", id_col)
+        return sim_annotate(out, meta, annotation_cols, "id2", id_col)
     suffix = side[-1]
     m = meta.select(
         F.col(id_col).alias(side),

@@ -102,11 +102,14 @@ def filter_some_different(
     decomposition, performed by the planner."""
     all_different_cols = all_different_cols or []
     any_different_cols = any_different_cols or []
-    # constraint normalization (R/sim_filter.R:440-461): all_different
-    # supersedes any_different; same-cols can't also be different-cols
+    # constraint normalization (R/sim_filter.R:440-447): if ANY
+    # all_different col also appears in any_different, the whole
+    # any_different constraint is superseded (dropped entirely, not
+    # per-column); then remove all_same cols from any_different
+    if set(all_different_cols) & set(any_different_cols):
+        any_different_cols = []
     any_different_cols = [
-        c for c in any_different_cols
-        if c not in all_different_cols and c not in all_same_cols
+        c for c in any_different_cols if c not in all_same_cols
     ]
     need = list(
         dict.fromkeys(all_same_cols + all_different_cols + any_different_cols)
@@ -150,6 +153,44 @@ def filter_all_same_keep_some(
     out = filter_all_same(out, meta, all_same_cols, id_col=id_col)
     if drop_spec is not None:
         out = filter_drop_some(out, meta, drop_spec, side=drop_side, id_col=id_col)
+    return out
+
+
+def filter_some_different_drop_some(
+    pairs: DataFrame,
+    meta: DataFrame,
+    any_different_cols: list[str] | None = None,
+    all_same_cols: list[str] | None = None,
+    all_different_cols: list[str] | None = None,
+    drop_spec_left: DataFrame | None = None,
+    drop_spec_right: DataFrame | None = None,
+    annotation_cols: list[str] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """`sim_filter_some_different_drop_some` (R/sim_filter.R:409-530) as
+    ONE call: theta-filter (same on all_same ∧ different on every
+    all_different ∧ different on ≥1 any_different) ∘ side-specific
+    drop-by-example anti-joins (filter_drop_left/right,
+    R/sim_filter.R:463-478) ∘ optional left-side annotation
+    (R/sim_filter.R:519-528). Argument names follow the reference;
+    pairs come in as a relation (the engine's pair-generator output)
+    instead of the reference's metadata self-join."""
+    out = filter_some_different(
+        pairs,
+        meta,
+        all_same_cols or [],
+        all_different_cols=all_different_cols,
+        any_different_cols=any_different_cols,
+        id_col=id_col,
+    )
+    if drop_spec_left is not None:
+        out = filter_drop_some(out, meta, drop_spec_left, side="id1", id_col=id_col)
+    if drop_spec_right is not None:
+        out = filter_drop_some(out, meta, drop_spec_right, side="id2", id_col=id_col)
+    if annotation_cols:
+        from matric_spark.operators.metrics import sim_annotate
+
+        out = sim_annotate(out, meta, annotation_cols, side="id1", id_col=id_col)
     return out
 
 

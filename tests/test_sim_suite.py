@@ -100,6 +100,98 @@ def test_filter_suite(spark, population):
     }
 
 
+def test_sim_annotate_both_sides(spark, population):
+    """Reference invariants (tests/testthat/test-sim_annotate.R:18-41):
+    index='both' yields {col}1/{col}2 with equal value domains, and
+    equals composing the left and right single-side calls."""
+    from matric_spark.operators.metrics import sim_annotate
+    from matric_spark.operators.pairs import all_pairs
+
+    pairs = all_pairs(population)
+    both = sim_annotate(pairs, population, ["label"])  # both is the default
+    assert {"label1", "label2"} <= set(both.columns)
+    v1 = {r.label1 for r in both.select("label1").distinct().collect()}
+    v2 = {r.label2 for r in both.select("label2").distinct().collect()}
+    assert v1 == v2 == {10, 20}
+
+    composed = sim_annotate(
+        sim_annotate(pairs, population, ["label"], side="id1"),
+        population,
+        ["label"],
+        side="id2",
+    )
+    a = sorted(map(tuple, both.collect()))
+    b = sorted(map(tuple, composed.select(*both.columns).collect()))
+    assert a == b
+
+
+def test_filter_some_different_drop_some_composition(spark, population):
+    """One-call parity with R/sim_filter.R:409-530: theta filter plus
+    side-specific drop specs plus left annotation."""
+    from matric_spark.operators.pairs import all_pairs
+    from matric_spark.operators.sim_filter import filter_some_different_drop_some
+
+    pairs = all_pairs(population)
+    drop_label_10 = spark.createDataFrame([(10,)], "label int")
+    out = filter_some_different_drop_some(
+        pairs,
+        population,
+        any_different_cols=["label"],
+        all_same_cols=["batch"],
+        drop_spec_left=drop_label_10,
+        annotation_cols=["label"],
+    )
+    got = {(r.id1, r.id2, r.label1) for r in out.collect()}
+    # same batch, different label = {(1,3),(3,1),(2,4),(4,2)}; dropping
+    # label-10 rows (ids 1,2) from the LEFT side keeps (3,1),(4,2) only
+    assert got == {(3, 1, 20), (4, 2, 20)}
+
+    # all_different superseding any_different (R/sim_filter.R:440-447):
+    # any_different ⊇ all_different → any_different dropped entirely
+    out2 = filter_some_different_drop_some(
+        pairs,
+        population,
+        any_different_cols=["label", "batch"],
+        all_different_cols=["label"],
+    )
+    got2 = {(r.id1, r.id2) for r in out2.collect()}
+    # only constraint left: label differs (batch unconstrained)
+    assert got2 == {
+        (i, j) for i in range(1, 5) for j in range(1, 5)
+        if i != j and (i <= 2) != (j <= 2)
+    }
+
+
+def test_collate_all_different_cols_non_rep(spark):
+    """all_different_cols_non_rep restricts the background arm
+    (R/sim_collate.R:419-438): same batch, different label AND
+    different gene."""
+    from matric_spark.operators.collate import sim_collate
+
+    rows = [  # (id, label, gene, batch, is_ref)
+        (1, 1, 0, 0, False),
+        (2, 2, 0, 0, False),  # same gene as 1 → excluded from non_rep
+        (3, 3, 1, 0, False),  # different gene → kept vs 1 and 2
+        (4, 0, 9, 0, True),
+    ]
+    meta = spark.createDataFrame(
+        rows, "id long, label int, gene int, batch int, is_ref boolean"
+    )
+    coll = sim_collate(
+        meta,
+        reference=F.col("is_ref"),
+        all_same_cols_ref=["batch"],
+        all_same_cols_rep=["label"],
+        all_same_cols_non_rep=["batch"],
+        any_different_cols_non_rep=["label"],
+        all_different_cols_non_rep=["gene"],
+    )
+    non_rep = {
+        (r.id1, r.id2) for r in coll.filter(F.col("type") == "non_rep").collect()
+    }
+    assert non_rep == {(1, 3), (3, 1), (2, 3), (3, 2)}
+
+
 def test_collate_types(spark):
     from matric_spark.operators.collate import sim_collate
 
