@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_strata": _q_sim_strata("cosine"),
         "sim_pearson_strata": _q_sim_strata("pearson"),
         "sim_euclidean_strata": _q_sim_strata("euclidean"),
+        "sim_spearman_strata": _q_sim_strata("spearman"),
         "sim_collate": q_sim_collate,
         "sim_collate_alldiff": q_sim_collate_alldiff,
         "sim_metrics_level10": q_sim_metrics_level10,
@@ -706,6 +707,7 @@ GROUP BY 1 HAVING count(*) > 1"""
     sql["sim_cosine_strata"] = dk.sim_strata_sql("cosine")
     sql["sim_pearson_strata"] = dk.sim_strata_sql("pearson")
     sql["sim_euclidean_strata"] = dk.sim_strata_sql("euclidean")
+    sql["sim_spearman_strata"] = dk.sim_strata_sql("spearman")
     sql["sim_collate"] = dk.sim_collate_sql()
     sql["sim_collate_alldiff"] = dk.sim_collate_sql(non_rep_alldiff_gene=True)
     sql["sim_metrics_level10"] = dk.sim_metrics_level10_sql()

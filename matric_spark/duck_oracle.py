@@ -354,6 +354,31 @@ FROM npop a JOIN npop b ON a.label = b.label AND a.id <> b.id"""
 WITH {_POP}
 SELECT a.id AS id1, b.id AS id2, round(list_distance(a.v, b.v), 6) AS sim
 FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id"""
+    if kernel == "spearman":
+        # average-tie rank per row element (exact rationals — window
+        # formula mirrors operators/pairs.rank_transform bit-for-bit),
+        # then the pearson chain over the rank vectors
+        return f"""
+WITH {_POP},
+ex AS (SELECT id, label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+       FROM pop),
+rk AS (SELECT id, label, i,
+         count(*) OVER (PARTITION BY id ORDER BY x
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - (count(*) OVER (PARTITION BY id, x) - 1) / 2.0 AS r
+       FROM ex),
+rv AS (SELECT id, any_value(label) AS label, list(r ORDER BY i) AS v
+       FROM rk GROUP BY id),
+cpop AS (SELECT id, label,
+                list_transform(v, x -> x - list_sum(v) / len(v)) AS cv
+         FROM rv),
+npop AS (SELECT id, label,
+                list_transform(cv,
+                  x -> x / sqrt(list_dot_product(cv, cv))) AS cnv
+         FROM cpop)
+SELECT a.id AS id1, b.id AS id2,
+       round(list_dot_product(a.cnv, b.cnv), 6) AS sim
+FROM npop a JOIN npop b ON a.label = b.label AND a.id <> b.id"""
     raise ValueError(kernel)
 
 

@@ -15,18 +15,32 @@ The reference's three execution strategies map to Spark like this:
 Kernels (R/sim_calculate.R:113-132): cosine = normalized dot; pearson =
 row-center then cosine (equivalent to stats::cor for complete rows —
 matric's own sparse path makes the same simplification, R/sparse.R:194-198);
-euclidean = L2 distance. All three are Column expressions over
-array<double> — no Python in the pair hot path.
+euclidean = L2 distance; spearman = average-tie rank transform of each
+row (stats::cor(t(X), method="spearman") ranks within each row) composed
+with the pearson kernel — the ranks come from windows over the exploded
+elements, so every kernel stays a Column-expression pipeline with no
+Python in the pair hot path.
+
+Pearson/spearman NaN semantics: these kernels are EXACT equal to R only
+for complete rows — stats::cor's use="pairwise.complete.obs"
+(R/sim_calculate.R:122-124) recomputes means per PAIR when NAs survive,
+which a row-preprocessed formulation cannot reproduce (matric's own
+sparse path, R/sparse.R:194-198, makes the same simplification). The
+reference's preprocess_data drops NA-bearing feature columns first
+(R/utils.R:97-120 ≙ operators/population.preprocess_data), so complete
+rows are the contract; `attach_sim` enforces it with a runtime
+assert_true on NaN features for these kernels rather than silently
+diverging.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from matric_spark.functions.vector import dot
 
-KERNELS = ("cosine", "pearson", "euclidean")
+KERNELS = ("cosine", "pearson", "euclidean", "spearman")
 
 
 def all_pairs(pop: DataFrame, id_col: str = "id") -> DataFrame:
@@ -120,6 +134,50 @@ def _preprocess_features(
     return df
 
 
+def rank_transform(
+    df: DataFrame, id_col: str = "id", vec_col: str = "features"
+) -> DataFrame:
+    """Replace each row's vector with its average-tie element ranks
+    (R's rank(x, ties.method="average"), the spearman preprocessing of
+    stats::cor(t(X), method="spearman"), R/sim_calculate.R:122-124).
+
+    Shape: posexplode → one window pass keyed on the row id (count of
+    elements ≤ x via a RANGE frame, tie size via a peer partition) →
+    regroup. The explode is d×N rows shuffled ONCE on the row id; the
+    regroup reuses that partitioning. avg_rank = cnt_le − (cnt_eq−1)/2,
+    an exact rational — bit-identical across engines.
+    """
+    ex = df.select(
+        F.col(id_col).alias("_rid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_i", "_x"),
+    )
+    w_le = (
+        Window.partitionBy("_rid")
+        .orderBy("_x")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_eq = Window.partitionBy("_rid", "_x")
+    ranked = ex.select(
+        "_rid",
+        "_i",
+        (
+            F.count(F.lit(1)).over(w_le)
+            - (F.count(F.lit(1)).over(w_eq) - 1) / 2.0
+        ).alias("_r"),
+    )
+    ranks = ranked.groupBy("_rid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_r"))), lambda s: s["_r"]
+        ).alias("_ranked_vec")
+    )
+    base = df.drop(vec_col)
+    return (
+        base.join(ranks, base[id_col] == ranks["_rid"])
+        .withColumnRenamed("_ranked_vec", vec_col)
+        .drop("_rid")
+    )
+
+
 def _kernel_expr(kernel: str) -> F.Column:
     """Pair-level kernel over preprocessed feature vectors."""
     v1, v2 = F.col("_v1"), F.col("_v2")
@@ -129,6 +187,23 @@ def _kernel_expr(kernel: str) -> F.Column:
         diff = F.zip_with(v1, v2, lambda x, y: (x - y) * (x - y))
         return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
     raise ValueError(f"kernel must be one of {KERNELS}, got {kernel!r}")
+
+
+def _nan_guard(v: F.Column, kernel: str) -> F.Column:
+    """Runtime completeness assertion for correlation kernels: rows with
+    NaN features would silently diverge from stats::cor's
+    use="pairwise.complete.obs" (which recomputes means per pair,
+    R/sim_calculate.R:122-124), so they raise instead. NULL vectors pass
+    through (they yield NULL sim, as before). assert_true is folded into
+    the feature expression so column pruning cannot drop it."""
+    ok = F.coalesce(~F.exists(v, lambda x: F.isnan(x)), F.lit(True))
+    msg = F.lit(
+        f"{kernel} kernel requires complete rows (no NaN features): run "
+        "preprocess_data to drop NA-bearing feature columns first "
+        "(R/utils.R:97-120); pairwise.complete.obs semantics are not "
+        "reproduced — see operators/pairs.py module docstring"
+    )
+    return F.when(F.assert_true(ok, msg).isNull(), v)
 
 
 def attach_sim(
@@ -143,13 +218,16 @@ def attach_sim(
     R/sim_calculate.R:362-426): dedup pairs, join features to both sides,
     evaluate the kernel in codegen. Duplicate pairs are dropped *before*
     the join — matric's dedup-before-fan-out discipline
-    (R/sim_calculate.R:395-399)."""
-    feats = _preprocess_features(
-        pop.select(F.col(id_col).alias("_fid"), F.col(vec_col)),
-        F.col(vec_col).cast("array<double>"),
-        kernel,
-        "_v",
-    ).select("_fid", "_v")
+    (R/sim_calculate.R:395-399). spearman = rank_transform ∘ pearson."""
+    feat_src = pop.select(F.col(id_col).alias("_fid"), F.col(vec_col))
+    v = F.col(vec_col).cast("array<double>")
+    if kernel in ("pearson", "spearman"):
+        feat_src = feat_src.withColumn(vec_col, _nan_guard(v, kernel))
+        v = F.col(vec_col)
+    if kernel == "spearman":
+        feat_src = rank_transform(feat_src, id_col="_fid", vec_col=vec_col)
+        kernel = "pearson"
+    feats = _preprocess_features(feat_src, v, kernel, "_v").select("_fid", "_v")
     uniq = pairs.select("id1", "id2", *(keep_cols or [])).dropDuplicates(
         ["id1", "id2", *(keep_cols or [])]
     )

@@ -51,6 +51,51 @@ def test_kernels_closed_form(spark, population):
     assert euc[(3, 4)] == pytest.approx(math.sqrt(4 + 0 + 4))
 
 
+def test_spearman_closed_form(spark):
+    """spearman = pearson of per-row average-tie ranks
+    (stats::cor(t(X), method='spearman'), R/sim_calculate.R:122-124)."""
+    from matric_spark.operators.pairs import rank_transform, sim_calculate
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], 0),
+        (2, [10.0, 20.0, 30.0], 0),   # same rank order → 1.0
+        (3, [3.0, 2.0, 1.0], 0),      # reversed → -1.0 vs 1
+        (4, [1.0, 1.0, 2.0, 0.5], 1),
+        (5, [5.0, 5.0, 9.0, 1.0], 1),  # identical tie structure → 1.0
+    ]
+    pop = spark.createDataFrame(rows, "id long, features array<double>, label int")
+    sp = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(pop, "spearman", strata=["label"]).collect()
+    }
+    assert sp[(1, 2)] == pytest.approx(1.0)
+    assert sp[(1, 3)] == pytest.approx(-1.0)
+    assert sp[(4, 5)] == pytest.approx(1.0)
+
+    ranks = {
+        r.id: r.features for r in rank_transform(pop).collect()
+    }
+    assert ranks[4] == [2.5, 2.5, 4.0, 1.0]  # average ties, R semantics
+
+
+def test_correlation_kernels_raise_on_nan_features(spark):
+    """Complete-rows contract: NaN features must raise (not silently
+    diverge from pairwise.complete.obs, R/sim_calculate.R:122-124)."""
+    import pyspark.errors
+
+    from matric_spark.operators.pairs import sim_calculate
+
+    pop = spark.createDataFrame(
+        [(1, [1.0, float("nan"), 3.0], 0), (2, [1.0, 2.0, 3.0], 0)],
+        "id long, features array<double>, label int",
+    )
+    for kernel in ("pearson", "spearman"):
+        with pytest.raises(Exception, match="complete rows"):
+            sim_calculate(pop, kernel, strata=["label"]).collect()
+    # cosine has no pairwise.complete.obs analog → NaN propagates, no raise
+    sim_calculate(pop, "cosine", strata=["label"]).collect()
+
+
 def test_optimized_equals_eager_restricted(spark, population):
     """Differential: within-group pair-gen ≡ all-pairs filtered to the
     same groups (matric's optimized ≡ eager equivalence,
