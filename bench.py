@@ -50,6 +50,10 @@ def main() -> None:
     times: dict[str, float] = {}
     for name, fn in qs.items():
         times[name] = round(run_once(fn(spark, sf_dir)), 3)
+        # several operators persist() intermediates (shingle sets, the
+        # scored metrics relation); release them between queries so the
+        # storage pool doesn't accumulate across the whole suite
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     verdict_s = times.get("verdicts", total)

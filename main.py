@@ -39,15 +39,17 @@ def main() -> int:
                     help="override lineage fingerprint (default: file listing hash)")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from matric_spark.checks.suite import SuiteConfig
+    from matric_spark.session import get_spark
     from matric_spark.state import input_fingerprint, run_incremental
 
-    # on a cluster spark-submit provides the session; locally we build one
-    spark = SparkSession.builder.appName("transcript-validate").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    # shared session factory: applies the UTC pin (oracle parity), AQE +
+    # skew-join, arrow batching, and shuffle-dir tuning that tests and
+    # bench run under; a cluster-provided master (spark-submit) is
+    # respected — get_spark only forces local[...] when none is set.
+    spark = get_spark(app_name="transcript-validate")
 
     if os.path.isfile(os.path.join(args.input, "lineitem.parquet")):
         from matric_spark.sources.transcripts_view import transcript_df

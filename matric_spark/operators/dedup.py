@@ -154,7 +154,9 @@ def ngram_jaccard_pairs(
     50%-boilerplate case.
     """
     # `sets` feeds three consumers (both join sides + sizes); persist so
-    # the shingle explode + md5 runs once, not per branch
+    # the shingle explode + md5 runs once, not per branch. Long-lived
+    # sessions: release after materializing (spark.catalog.clearCache();
+    # bench.py and tools/check_oracle.py do this between queries).
     from pyspark import StorageLevel
 
     sets = shingle_sets(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)

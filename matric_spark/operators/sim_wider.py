@@ -46,3 +46,57 @@ def sim_wider(
         .orderBy("id1")
     )
     return wide
+
+
+def sim_wider_labeled(
+    sim: DataFrame,
+    annotation_col: str,
+    fill_diagonal: float | None = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """`sim_wider` with the reference's display labels
+    (R/sim_wider.R:74-123): rows/columns are renamed to unique
+    "{annotation}:{i}" labels built from the sorted distinct
+    (id, annotation) map, and the reference's map1 == map2 symmetry
+    assertion (R/sim_wider.R:92) is enforced — both pair sides must
+    carry identical (id, annotation) associations.
+
+    `sim` must carry {annotation_col}1 / {annotation_col}2 columns (the
+    sim_annotate(side="both") output). Returns (wide, map) where map is
+    DataFrame[id, annotation, primary_key] — the reference's "map" attr
+    as a first-class relation. Small-population visualization op, same
+    MAX_PIVOT_IDS bound as sim_wider."""
+    a1, a2 = f"{annotation_col}1", f"{annotation_col}2"
+    map1 = sorted(
+        (r[0], r[1]) for r in sim.select("id1", a1).distinct().collect()
+    )
+    map2 = sorted(
+        (r[0], r[1]) for r in sim.select("id2", a2).distinct().collect()
+    )
+    if map1 != map2:
+        raise ValueError(
+            "sim_wider_labeled: (id, annotation) maps differ between pair "
+            "sides — the similarity matrix is not symmetric (R/sim_wider.R:92)"
+        )
+    # "{annotation}:{seq}" over the (id, annotation)-sorted map
+    # (R/sim_wider.R:94-104: paste(annotation, seq_along, sep=":"))
+    labels = {
+        id_: f"{ann}:{i}" for i, (id_, ann) in enumerate(map1, start=1)
+    }
+    by_str = {str(k): v for k, v in labels.items()}
+    wide = sim_wider(sim, fill_diagonal=fill_diagonal)
+    id_order = [c for c in wide.columns if c != "id1"]
+    relabeled = wide.select(
+        F.col("id1"),
+        *[F.col(f"`{c}`").alias(by_str[c]) for c in id_order],
+    )
+    lab_expr = F.create_map(
+        *[F.lit(x) for kv in labels.items() for x in kv]
+    )[F.col("id1")]
+    relabeled = relabeled.withColumn("id1", lab_expr).withColumnRenamed(
+        "id1", "id"
+    )
+    map_df = sim.sparkSession.createDataFrame(
+        [(labels[id_], ann, str(id_)) for id_, ann in map1],
+        "id string, annotation string, primary_key string",
+    )
+    return relabeled, map_df

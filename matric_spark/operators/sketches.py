@@ -117,16 +117,27 @@ def tdigest_quantiles(
 # ------------------------------------------------------------------ HLL
 
 
+def _leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros for uint64 (binary-search
+    shifts — pure integer ops). float64 log2 loses precision above 2^53,
+    which skewed ranks at power-of-two boundaries and, since the
+    registers are persisted resume state, baked the error in."""
+    bl = np.zeros(len(x), dtype=np.int64)  # bit length
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (v >> np.uint64(s)) != 0
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl += (v != 0).astype(np.int64)
+    return 64 - bl
+
+
 def _hll_registers(values: pd.Series, p: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(values, index=False).to_numpy(np.uint64)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)
     # rank = leading zeros of the remaining 64-p bits, +1 (cap at 64-p+1)
-    nz = rest != 0
-    lz = np.full(len(h), 64 - p, dtype=np.int64)
-    bits = np.floor(np.log2(rest[nz].astype(np.float64) + 0.5)).astype(np.int64)
-    lz[nz] = 63 - bits
-    rank = np.minimum(lz, 64 - p) + 1
+    rank = np.minimum(_leading_zeros64(rest), 64 - p) + 1
     regs = np.zeros(1 << p, dtype=np.int64)
     np.maximum.at(regs, idx, rank)
     return regs

@@ -52,12 +52,18 @@ def get_spark(
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(env) if env else None
-    master = f"local[{cpus}]" if cpus else "local[*]"
     n_shuffle = shuffle_partitions or (cpus or os.cpu_count() or 8)
 
+    b = SparkSession.builder.appName(app_name)
+    # Respect a cluster-provided master (spark-submit --master sets the
+    # spark.master system property); force local[...] only when nothing
+    # is configured, so main.py can share this factory with tests/bench.
+    from pyspark import SparkConf
+
+    if not SparkConf(loadDefaults=True).contains("spark.master"):
+        b = b.master(f"local[{cpus}]" if cpus else "local[*]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         # --- determinism / oracle parity ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: the scale story ---

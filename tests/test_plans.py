@@ -124,6 +124,20 @@ def test_uniqueness_hash_phase_aggregates_on_long(spark, transcripts_parquet):
     assert "CartesianProduct" not in p
 
 
+def test_assemble_population_has_no_single_partition_exchange(spark):
+    """The hash surrogate-id path must never funnel the table through a
+    SinglePartition exchange (the old Window.orderBy(*all) total sort)."""
+    rows = [(float(i), f"p{i % 3}", float(i), float(2 * i)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "Metadata_group double, Metadata_plate string, x double, y double"
+    )
+    from matric_spark.operators.population import assemble_population
+
+    p = plan(assemble_population(df))
+    assert "SinglePartition" not in p
+    assert "xxhash64" in p  # bucketed surrogate id in play
+
+
 def test_lsh_candidate_exchange_carries_ids_only(spark):
     """The ANN LSH candidate join must shuffle (vec_id, band_idx,
     band_val) only — never the embedding vector (which is n_bands× the

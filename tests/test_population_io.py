@@ -32,7 +32,14 @@ def test_annotation_split(wide_pop):
     assert annotation_cols(wide_pop) == ["Metadata_group", "Metadata_plate"]
     ann = get_annotation(wide_pop)
     assert ann.columns == ["id", "Metadata_group", "Metadata_plate"]
-    assert sorted(r.id for r in ann.collect()) == [1, 2, 3]
+    ids = [r.id for r in ann.collect()]
+    assert len(set(ids)) == 3  # unique, stable (hash strategy default)
+    # stability under repartition — the property the R seq_len id lacks
+    ids2 = [r.id for r in get_annotation(wide_pop.repartition(7)).collect()]
+    assert sorted(ids) == sorted(ids2)
+    # sort strategy = the reference's dense 1..N
+    dense = get_annotation(wide_pop, id_strategy="sort")
+    assert sorted(r.id for r in dense.collect()) == [1, 2, 3]
     assert drop_annotation(wide_pop).columns == ["x", "y", "z"]
 
 
@@ -156,3 +163,37 @@ def test_sim_wider_symmetry(spark):
         for j in range(3):
             assert m[i][j] == m[j][i]  # symmetric
     assert m[0][1] == 0.5 and m[1][2] == 0.9
+
+
+def test_sim_wider_labeled_matches_reference(spark):
+    """Reference label behavior (R/sim_wider.R:74-123): unique
+    '{annotation}:{i}' labels over the (id, annotation)-sorted map, with
+    the map1 == map2 symmetry assertion."""
+    import pytest
+
+    from matric_spark.operators.sim_wider import sim_wider_labeled
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, 0.5, "a", "b"), (2, 1, 0.5, "b", "a"),
+            (1, 3, 0.2, "a", "a"), (3, 1, 0.2, "a", "a"),
+            (2, 3, 0.9, "b", "a"), (3, 2, 0.9, "a", "b"),
+        ],
+        "id1 long, id2 long, sim double, g1 string, g2 string",
+    )
+    wide, mp = sim_wider_labeled(pairs, "g")
+    rows = wide.collect()
+    # duplicate annotation 'a' (ids 1, 3) gets distinct :i suffixes
+    assert [r.id for r in rows] == ["a:1", "b:2", "a:3"]
+    assert wide.columns == ["id", "a:1", "b:2", "a:3"]
+    assert rows[0]["b:2"] == 0.5 and rows[1]["a:3"] == 0.9
+    got_map = [(r.id, r.annotation, r.primary_key) for r in mp.collect()]
+    assert got_map == [("a:1", "a", "1"), ("b:2", "b", "2"), ("a:3", "a", "3")]
+
+    # asymmetric (id, annotation) association must raise
+    bad = spark.createDataFrame(
+        [(1, 2, 0.5, "a", "WRONG"), (2, 1, 0.5, "b", "a")],
+        "id1 long, id2 long, sim double, g1 string, g2 string",
+    )
+    with pytest.raises(ValueError, match="not symmetric"):
+        sim_wider_labeled(bad, "g")

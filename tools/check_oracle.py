@@ -56,6 +56,49 @@ def compare(name: str, sp: pd.DataFrame, dk: pd.DataFrame) -> bool:
     return ok
 
 
+def check_sketch_bounds(sp: pd.DataFrame, con) -> bool:
+    """Approximate sketches get a BOUNDS oracle instead of a value hash:
+    DuckDB computes exact per-partition quantiles / distinct counts and
+    the t-digest (delta=100) / HLL (p=12) results must land within the
+    documented envelopes (5% of the value spread for quantiles, 5%
+    relative for distinct — the same bounds tests/test_sketches.py pins
+    on synthetic data, here enforced against the real table inside the
+    gate)."""
+    from matric_spark.sources.transcripts_view import TRANSCRIPT_VIEW_SQL
+
+    exact = con.execute(
+        f"""WITH transcripts AS ({TRANSCRIPT_VIEW_SQL})
+SELECT part_month,
+       quantile_cont(length(text), 0.5)  FILTER (text IS NOT NULL) AS q50,
+       quantile_cont(length(text), 0.95) FILTER (text IS NOT NULL) AS q95,
+       min(length(text)) AS lo, max(length(text)) AS hi,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS nd
+FROM transcripts GROUP BY 1"""
+    ).fetch_df().set_index("part_month")
+    ok = True
+    for _, r in sp.iterrows():
+        e = exact.loc[r["part_month"]]
+        spread = max(e["hi"] - e["lo"], 1.0)
+        for approx_col, exact_col in (("q_50", "q50"), ("q_95", "q95")):
+            err = abs(r[approx_col] - e[exact_col]) / spread
+            if err >= 0.05:
+                print(
+                    f"  [sketch_stats] {approx_col} out of bounds at part "
+                    f"{r['part_month']}: {r[approx_col]} vs exact "
+                    f"{e[exact_col]} (rel spread err {err:.4f})"
+                )
+                ok = False
+        rel = abs(r["approx_distinct"] - e["nd"]) / max(e["nd"], 1)
+        if rel >= 0.05:
+            print(
+                f"  [sketch_stats] approx_distinct out of bounds at part "
+                f"{r['part_month']}: {r['approx_distinct']} vs {e['nd']} "
+                f"(rel {rel:.4f})"
+            )
+            ok = False
+    return ok
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -79,7 +122,17 @@ def main() -> int:
 
         t0 = time.time()
         sp = fn(spark, sf_dir).toPandas()
+        spark.catalog.clearCache()  # release per-query persist()s
         t1 = time.time()
+        if name == "sketch_stats":
+            good = check_sketch_bounds(sp, con)
+            print(
+                f"{'PASS' if good else 'FAIL'} {name} (bounds oracle): "
+                f"{len(sp)} rows, {t1-t0:.1f}s"
+            )
+            if not good:
+                failures.append(name)
+            continue
         if name not in oq:
             print(f"  [{name}] no oracle (rows-only): {len(sp)} rows, {t1-t0:.1f}s")
             continue
