@@ -210,6 +210,22 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no oracle_sql entry (deliberate, rows-only): the probe set depends
+    # on the spherical-k-means centroids, which SQL would have to
+    # re-derive iteration-for-iteration. Recall vs brute force is
+    # differential-bounded in tests/test_ops.py::test_ann_topk_ivf_recall.
+    from matric_spark.operators.ann import ann_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    return _round6(
+        ann_topk_ivf(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=32, nprobe=8
+        ),
+        ["cosine"],
+    )
+
+
 # ---- matric-parity sim suite (embeddings population) ---------------------
 
 
@@ -497,10 +513,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "sim_cosine_strata": _q_sim_strata("cosine"),
         "sim_pearson_strata": _q_sim_strata("pearson"),
         "sim_euclidean_strata": _q_sim_strata("euclidean"),
         "sim_spearman_strata": _q_sim_strata("spearman"),
+        "sim_kendall_strata": _q_sim_strata("kendall"),
         "sim_collate": q_sim_collate,
         "sim_collate_alldiff": q_sim_collate_alldiff,
         "sim_metrics_level10": q_sim_metrics_level10,
@@ -708,6 +726,7 @@ GROUP BY 1 HAVING count(*) > 1"""
     sql["sim_pearson_strata"] = dk.sim_strata_sql("pearson")
     sql["sim_euclidean_strata"] = dk.sim_strata_sql("euclidean")
     sql["sim_spearman_strata"] = dk.sim_strata_sql("spearman")
+    sql["sim_kendall_strata"] = dk.sim_strata_sql("kendall")
     sql["sim_collate"] = dk.sim_collate_sql()
     sql["sim_collate_alldiff"] = dk.sim_collate_sql(non_rep_alldiff_gene=True)
     sql["sim_metrics_level10"] = dk.sim_metrics_level10_sql()

@@ -379,6 +379,29 @@ npop AS (SELECT id, label,
 SELECT a.id AS id1, b.id AS id2,
        round(list_dot_product(a.cnv, b.cnv), 6) AS sim
 FROM npop a JOIN npop b ON a.label = b.label AND a.id <> b.id"""
+    if kernel == "kendall":
+        # tau-b term-for-term with sparse.kendall_rows: over index pairs
+        # i<j, num = Σ sign(xi−xj)·sign(yi−yj); tie-corrected denominator
+        # sqrt(#(xi≠xj) · #(yi≠yj)). All counts exact integers; the one
+        # float op order (sqrt then divide) matches the numpy kernel.
+        return f"""
+WITH {_POP},
+d AS (SELECT len(v) AS d FROM pop LIMIT 1),
+ip AS (SELECT ii.i AS i, jj.j AS j
+       FROM (SELECT unnest(range(1, (SELECT d FROM d) + 1)) AS i) ii,
+            (SELECT unnest(range(1, (SELECT d FROM d) + 1)) AS j) jj
+       WHERE ii.i < jj.j),
+prs AS (SELECT a.id AS id1, b.id AS id2, a.v AS va, b.v AS vb
+        FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id),
+terms AS (SELECT id1, id2,
+                 sign(va[i] - va[j]) * sign(vb[i] - vb[j]) AS t,
+                 CASE WHEN va[i] <> va[j] THEN 1 ELSE 0 END AS cx,
+                 CASE WHEN vb[i] <> vb[j] THEN 1 ELSE 0 END AS cy
+          FROM prs CROSS JOIN ip)
+SELECT id1, id2,
+       round(sum(t) / sqrt(CAST(sum(cx) AS DOUBLE) * CAST(sum(cy) AS DOUBLE)),
+             6) AS sim
+FROM terms GROUP BY id1, id2"""
     raise ValueError(kernel)
 
 

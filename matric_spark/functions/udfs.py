@@ -48,3 +48,39 @@ def make_hyperplane_bands_udf(planes: "np.ndarray", n_bands: int, band_bits: int
         return pd.Series(list(vals))
 
     return bands
+
+
+def make_centroid_assign_udf(centroids: "np.ndarray"):
+    """IVF cell assignment: argmax cosine against the (k × d) centroid
+    matrix — one (batch × d) @ (d × k) matmul per Arrow batch. Centroids
+    are unit rows (operators/ann.ivf_centroids), inputs are pre-normalized,
+    so the matmul IS the cosine. Ties break to the lowest cell id
+    (np.argmax), deterministically."""
+    cent = centroids.T  # (d, k), captured once per task
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series((mat @ cent).argmax(axis=1).astype(np.int32))
+
+    return assign
+
+
+def make_centroid_probe_udf(centroids: "np.ndarray", nprobe: int):
+    """Top-`nprobe` nearest cells per query vector (the IVF probe list):
+    one matmul + argpartition per Arrow batch. The probe list is sorted
+    (cosine desc, cell asc) so the output is deterministic under ties."""
+    cent = centroids.T
+
+    @pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        sims = mat @ cent  # (batch, k)
+        p = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        row_sims = np.take_along_axis(sims, top, axis=1)
+        order = np.lexsort((top, -row_sims), axis=1)
+        cells = np.take_along_axis(top, order, axis=1).astype(np.int32)
+        return pd.Series(list(cells))
+
+    return probe

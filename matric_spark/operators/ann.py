@@ -189,6 +189,120 @@ def lsh_candidate_pairs(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Spherical k-means centroids (numpy (k, d), unit rows) for the IVF
+    index. Deterministic throughout: seeds are the `n_centroids` vectors
+    with the smallest xxhash64(id) (a hash-sample, no RNG), then `iters`
+    Lloyd rounds — assign = one argmax matmul per Arrow batch, update =
+    groupBy(cell).avg. Each round collects exactly k×d floats of model
+    state to the driver (k=64, d=64 → 32 KB) — model state, not data;
+    the data-side work is one scan per round.
+    """
+    import numpy as np
+
+    normed = _normalized(emb, id_col, vec_col, "vec_id", "v").filter(
+        F.col("v").isNotNull()
+    )
+    w_seed = F.xxhash64(F.col("vec_id").cast("string"))
+    seeds = (
+        normed.withColumn("_h", w_seed)
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select("v")
+        .collect()
+    )
+    cent = np.stack([np.asarray(r.v, dtype=np.float64) for r in seeds])
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    from matric_spark.functions.udfs import make_centroid_assign_udf
+
+    for _ in range(iters):
+        assign = make_centroid_assign_udf(cent)
+        cells = normed.select(assign(F.col("v")).alias("cell"), "v")
+        agg = (
+            cells.select(
+                "cell", F.posexplode(F.col("v")).alias("i", "x")
+            )
+            .groupBy("cell", "i")
+            .agg(F.sum("x").alias("s"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "s"))),
+                    lambda t: t["s"],
+                ).alias("mean_v")
+            )
+            .collect()
+        )
+        new = cent.copy()  # empty cells keep their old centroid
+        for r in agg:
+            new[r.cell] = np.asarray(r.mean_v, dtype=np.float64)
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        cent = np.where(norms > 0, new / norms, cent)
+    return cent
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: the scale path for `ann_topk_bruteforce`.
+
+    Index: every vector is assigned to its nearest spherical-k-means
+    centroid (one argmax matmul pass). Search: each query probes its
+    `nprobe` nearest cells, so it scans ~nprobe/n_centroids of the
+    corpus instead of all of it — the brute-force crossJoin's O(N·Q)
+    becomes O(N·Q·nprobe/k_cells), and the join is keyed on `cell`
+    (hash shuffle; skewed cells fall to AQE skew-join, session.py).
+    Same output contract as brute force: (qid, vec_id, cosine, rank),
+    deterministic tie-break (cosine desc, vec_id asc). Recall is
+    probabilistic (differential-tested on planted clusters); precision
+    within scanned cells is exact, so this is excluded from the exact
+    oracle gate (rows-only in the driver check).
+    """
+    from pyspark.sql.window import Window
+
+    from matric_spark.functions.udfs import (
+        make_centroid_assign_udf,
+        make_centroid_probe_udf,
+    )
+
+    cent = ivf_centroids(
+        emb, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assign = make_centroid_assign_udf(cent)
+    probe = make_centroid_probe_udf(cent, nprobe)
+
+    e = _normalized(emb, id_col, vec_col, "vec_id", "v").withColumn(
+        "cell", assign(F.col("v"))
+    )
+    q = _normalized(queries, id_col, vec_col, "qid", "qv").select(
+        "qid", "qv", F.explode(probe(F.col("qv"))).alias("cell")
+    )
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", dot("qv", "v").alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_lsh(
     emb: DataFrame,
     dim: int,

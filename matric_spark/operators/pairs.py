@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from matric_spark.functions.vector import dot
 
-KERNELS = ("cosine", "pearson", "euclidean", "spearman")
+KERNELS = ("cosine", "pearson", "euclidean", "spearman", "kendall")
 
 
 def all_pairs(pop: DataFrame, id_col: str = "id") -> DataFrame:
@@ -221,9 +221,23 @@ def attach_sim(
     (R/sim_calculate.R:395-399). spearman = rank_transform ∘ pearson."""
     feat_src = pop.select(F.col(id_col).alias("_fid"), F.col(vec_col))
     v = F.col(vec_col).cast("array<double>")
-    if kernel in ("pearson", "spearman"):
+    if kernel in ("pearson", "spearman", "kendall"):
         feat_src = feat_src.withColumn(vec_col, _nan_guard(v, kernel))
         v = F.col(vec_col)
+    if kernel == "kendall":
+        # rank-correlation over every element pair — no row preprocessing
+        # makes it a dot product, so it runs on the blocked numpy path
+        # (one vectorized tau-b per Arrow batch; sparse.kendall_rows)
+        from matric_spark.operators.sparse import pairwise_blocked
+
+        return pairwise_blocked(
+            pairs,
+            feat_src,
+            kernel="kendall",
+            id_col="_fid",
+            vec_col=vec_col,
+            keep_cols=keep_cols,
+        )
     if kernel == "spearman":
         feat_src = rank_transform(feat_src, id_col="_fid", vec_col=vec_col)
         kernel = "pearson"

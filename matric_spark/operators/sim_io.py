@@ -81,22 +81,61 @@ def sim_validate(sf: SimFrame) -> SimFrame:
     return sf
 
 
+def _csv_components(path: str) -> tuple[str, str, str]:
+    """The reference's csv sidecar naming (R/sim_read-write.R:45-57):
+    <dir>/<basename>.csv, <basename>_metadata.csv, <basename>_metadata.json.
+    The two .csv components are Spark csv DIRECTORIES bearing those names
+    (single-file csv would force a coalesce(1) funnel; Spark reads the
+    directory transparently, so the layout round-trips)."""
+    base = os.path.basename(os.path.normpath(path))
+    return (
+        os.path.join(path, f"{base}.csv"),
+        os.path.join(path, f"{base}_metadata.csv"),
+        os.path.join(path, f"{base}_metadata.json"),
+    )
+
+
 def sim_write(sf: SimFrame, path: str, file_format: str = "parquet") -> None:
-    """Persist all three components (R/sim_read-write.R:42-76). On
-    Iceberg: two writeTo().append() + table properties for the params."""
-    if file_format != "parquet":
-        raise NotImplementedError("csv 3-file layout is a non-goal (SURVEY §7.4)")
-    sf.pairs.write.mode("overwrite").parquet(os.path.join(path, "pairs"))
-    sf.row_metadata.write.mode("overwrite").parquet(os.path.join(path, "metadata"))
-    with open(os.path.join(path, "params.json"), "w") as f:
-        json.dump(sf.metric_metadata, f, sort_keys=True)
+    """Persist all three components (R/sim_read-write.R:42-76):
+    parquet = pairs/ + metadata/ + params.json; csv = the reference's
+    3-component sidecar layout. On Iceberg: two writeTo().append() +
+    table properties for the params."""
+    if file_format == "parquet":
+        sf.pairs.write.mode("overwrite").parquet(os.path.join(path, "pairs"))
+        sf.row_metadata.write.mode("overwrite").parquet(
+            os.path.join(path, "metadata")
+        )
+        with open(os.path.join(path, "params.json"), "w") as f:
+            json.dump(sf.metric_metadata, f, sort_keys=True)
+        return
+    if file_format == "csv":
+        pairs_p, meta_p, params_p = _csv_components(path)
+        sf.pairs.write.mode("overwrite").option("header", True).csv(pairs_p)
+        sf.row_metadata.write.mode("overwrite").option("header", True).csv(meta_p)
+        with open(params_p, "w") as f:
+            json.dump(sf.metric_metadata, f, sort_keys=True)
+        return
+    raise ValueError(f"file_format must be 'parquet' or 'csv', got {file_format!r}")
 
 
-def sim_read(spark: SparkSession, path: str) -> SimFrame:
+def sim_read(
+    spark: SparkSession, path: str, file_format: str = "parquet"
+) -> SimFrame:
     """Load + RE-VALIDATE (sim_validate(sim_new(...)) on read,
-    R/sim_read-write.R:112-154) — storage is untrusted."""
-    pairs = spark.read.parquet(os.path.join(path, "pairs"))
-    meta = spark.read.parquet(os.path.join(path, "metadata"))
-    with open(os.path.join(path, "params.json")) as f:
-        params = json.load(f)
-    return sim_new(pairs, meta, params)
+    R/sim_read-write.R:112-154) — storage is untrusted. csv reads with
+    inferSchema (readr::read_csv's col_types = cols() behavior)."""
+    if file_format == "parquet":
+        pairs = spark.read.parquet(os.path.join(path, "pairs"))
+        meta = spark.read.parquet(os.path.join(path, "metadata"))
+        with open(os.path.join(path, "params.json")) as f:
+            params = json.load(f)
+        return sim_new(pairs, meta, params)
+    if file_format == "csv":
+        pairs_p, meta_p, params_p = _csv_components(path)
+        opts = {"header": True, "inferSchema": True}
+        pairs = spark.read.options(**opts).csv(pairs_p)
+        meta = spark.read.options(**opts).csv(meta_p)
+        with open(params_p) as f:
+            params = json.load(f)
+        return sim_new(pairs, meta, params)
+    raise ValueError(f"file_format must be 'parquet' or 'csv', got {file_format!r}")

@@ -57,10 +57,52 @@ def pearson_rows(x1, x2):
     )
 
 
+def kendall_rows(x1, x2, _chunk: int = 256):
+    """Kendall tau-b per row pair — stats::cor(t(X), method="kendall")
+    (whitelisted at R/sim_calculate.R:99). Not expressible as a dot of
+    row-preprocessed vectors (it needs every element pair), so it lives
+    on the blocked numpy path rather than the codegen kernel set.
+
+    Exact integer counts: over index pairs i<j,
+      num   = #concordant − #discordant = Σ sign(xi−xj)·sign(yi−yj)
+      n0−n1 = #pairs with xi≠xj,  n0−n2 = #pairs with yi≠yj   (tie terms)
+      tau_b = num / sqrt((n0−n1)·(n0−n2))
+    A constant row gives denominator 0 → NaN, which crosses the Arrow
+    boundary as SQL NULL (the faithful rendering of R's NA).
+    All counts are exact int64; the one float op order (sqrt then divide)
+    is fixed, so the result is bit-identical to any engine using the same
+    formula — the DuckDB oracle (duck_oracle.sim_strata_sql("kendall"))
+    mirrors it term for term.
+
+    Memory: the d×d sign tensors are built per `_chunk` row pairs
+    (chunk·d² floats, ~2 MB at d=64), never for the whole Arrow batch.
+    """
+    import numpy as np
+
+    n = x1.shape[0]
+    out = np.empty(n, dtype=np.float64)
+    for s in range(0, n, _chunk):
+        a = x1[s : s + _chunk]
+        b = x2[s : s + _chunk]
+        sx = np.sign(a[:, :, None] - a[:, None, :])
+        sy = np.sign(b[:, :, None] - b[:, None, :])
+        iu = np.triu_indices(a.shape[1], k=1)
+        sxu = sx[:, iu[0], iu[1]]
+        syu = sy[:, iu[0], iu[1]]
+        num = np.einsum("ij,ij->i", sxu, syu)
+        dx = np.count_nonzero(sxu, axis=1).astype(np.float64)
+        dy = np.count_nonzero(syu, axis=1).astype(np.float64)
+        denom = np.sqrt(dx * dy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[s : s + _chunk] = np.where(denom > 0, num / denom, np.nan)
+    return out
+
+
 KERNELS: dict[str, Kernel] = {
     "cosine": cosine_rows,
     "pearson": pearson_rows,
     "tcrossprod": tcrossprod_rows,
+    "kendall": kendall_rows,
 }
 
 
@@ -70,34 +112,44 @@ def pairwise_blocked(
     kernel: str | Kernel = "cosine",
     id_col: str = "id",
     vec_col: str = "features",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """`sparse_pairwise` (R/sparse.R:20-48): fill `sim` for a pair list
     with a per-batch numpy kernel. Pairs are deduped before the fan-out
     joins (R/sim_calculate.R:395-399); the kernel may be a name from
     KERNELS or any (X1, X2) -> vector callable (the `pairwise_function`
-    plug point)."""
+    plug point). `keep_cols` ride the pair list through the Arrow batch
+    unchanged (so attach_sim can delegate here without losing its tags).
+    """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     fn = KERNELS[kernel] if isinstance(kernel, str) else kernel
+    keep = list(keep_cols or [])
 
     feats = pop.select(
         F.col(id_col).alias("_fid"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     joined = (
-        pairs.select("id1", "id2")
-        .dropDuplicates(["id1", "id2"])
+        pairs.select("id1", "id2", *keep)
+        .dropDuplicates(["id1", "id2", *keep])
         .join(feats.withColumnsRenamed({"_fid": "id1", "_v": "_v1"}), "id1")
         .join(feats.withColumnsRenamed({"_fid": "id2", "_v": "_v2"}), "id2")
+    )
+    out_cols = ["id1", "id2", *keep]
+    out_schema = StructType(
+        [joined.schema[c] for c in out_cols]
+        + [StructField("sim", DoubleType(), True)]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             x1 = np.stack(pdf["_v1"].to_numpy())
             x2 = np.stack(pdf["_v2"].to_numpy())
-            yield pd.DataFrame(
-                {"id1": pdf["id1"], "id2": pdf["id2"], "sim": fn(x1, x2)}
-            )
+            res = pdf[out_cols].copy()
+            res["sim"] = fn(x1, x2)
+            yield res
 
-    return joined.mapInPandas(run, "id1 long, id2 long, sim double")
+    return joined.mapInPandas(run, out_schema)

@@ -146,6 +146,53 @@ def test_embedding_near_dup_lsh_planted_recall(spark):
     assert len(lsh) / len(exact) >= 0.9
 
 
+def test_ann_topk_ivf_recall_and_determinism(spark):
+    """IVF top-k (the sub-linear search path) vs brute force on planted
+    clusters: a query's true nearest neighbors share its cluster, so
+    they land in the probed cells — recall@k must be high. Also: two
+    runs are identical (hash-sampled seeds + fixed Lloyd rounds, no RNG)
+    and IVF scores are exact cosines (subset-of-scanned guarantee)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for _ in range(30):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        for _ in range(8):
+            v = base + rng.normal(size=16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)  # 6 queries
+
+    from matric_spark.operators.ann import ann_topk_bruteforce, ann_topk_ivf
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in ann_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    got1 = ann_topk_ivf(
+        emb, queries, k=5, n_centroids=16, nprobe=4
+    ).collect()
+    ivf = {(r.qid, r.vec_id) for r in got1}
+    assert len(ivf & exact) / len(exact) >= 0.9  # recall@5
+    # determinism: identical output across runs
+    got2 = ann_topk_ivf(emb, queries, k=5, n_centroids=16, nprobe=4).collect()
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    assert sorted(map(tuple, got1), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, got2), key=lambda t: (t[0], t[3])
+    )
+    # IVF cosines are exact (same scoring expression as brute force)
+    bf = {
+        (r.qid, r.vec_id): r.cosine
+        for r in ann_topk_bruteforce(emb, queries, k=200).collect()
+    }
+    for r in got1:
+        assert bf[(r.qid, r.vec_id)] == pytest.approx(r.cosine, abs=1e-12)
+
+
 def test_ann_topk_ordering(spark, tiny_vectors):
     from matric_spark.operators.ann import ann_topk_bruteforce
 

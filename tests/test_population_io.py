@@ -95,6 +95,40 @@ def test_simframe_validate_and_roundtrip(spark, tmp_path):
         sim_new(spark.createDataFrame([(1,)], "id1 long"), meta, {})
 
 
+def test_simframe_csv_sidecar_roundtrip(spark, tmp_path):
+    """The reference's csv 3-component layout (R/sim_read-write.R:45-57,
+    tests/testthat/test-sim_read-write.R:1-107): <base>.csv pairs,
+    <base>_metadata.csv, <base>_metadata.json — written as Spark csv
+    directories bearing those names (no coalesce(1) funnel)."""
+    import os
+
+    from matric_spark.operators.sim_io import sim_new, sim_read, sim_write
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 0.5)], "id1 long, id2 long, sim double"
+    )
+    meta = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    sf = sim_new(pairs, meta, {"method": "cosine"})
+
+    path = str(tmp_path / "simcsv")
+    sim_write(sf, path, file_format="csv")
+    assert os.path.isdir(os.path.join(path, "simcsv.csv"))
+    assert os.path.isdir(os.path.join(path, "simcsv_metadata.csv"))
+    assert os.path.isfile(os.path.join(path, "simcsv_metadata.json"))
+
+    back = sim_read(spark, path, file_format="csv")  # re-validates on load
+    assert sorted(map(tuple, back.pairs.collect())) == sorted(
+        map(tuple, pairs.collect())
+    )
+    assert sorted(map(tuple, back.row_metadata.collect())) == sorted(
+        map(tuple, meta.collect())
+    )
+    assert back.metric_metadata == {"method": "cosine"}
+
+    with pytest.raises(ValueError):
+        sim_write(sf, path, file_format="feather")
+
+
 def test_lazy_pair_index_is_legal(spark):
     """sim without a `sim` column validates (lazy mode,
     R/sim_construct-validate.R:71-72)."""

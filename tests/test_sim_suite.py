@@ -78,6 +78,67 @@ def test_spearman_closed_form(spark):
     assert ranks[4] == [2.5, 2.5, 4.0, 1.0]  # average ties, R semantics
 
 
+def test_kendall_closed_form(spark):
+    """kendall = tau-b over element pairs (stats::cor(t(X),
+    method='kendall'), whitelisted at R/sim_calculate.R:99): exact
+    concordant/discordant counts with tie-corrected denominator,
+    computed on the blocked numpy path (sparse.kendall_rows)."""
+    from matric_spark.operators.pairs import sim_calculate
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], 0),
+        (2, [10.0, 20.0, 30.0], 0),     # same order → 1.0
+        (3, [3.0, 2.0, 1.0], 0),        # reversed → -1.0 vs 1
+        (4, [1.0, 1.0, 2.0], 1),        # tie in x
+        (5, [3.0, 5.0, 9.0], 1),        # num=2, dx=2, dy=3 → 2/sqrt(6)
+        (6, [7.0, 7.0, 7.0], 2),        # constant row → denominator 0
+        (7, [1.0, 2.0, 3.0], 2),
+    ]
+    pop = spark.createDataFrame(rows, "id long, features array<double>, label int")
+    kd = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(pop, "kendall", strata=["label"]).collect()
+    }
+    assert kd[(1, 2)] == pytest.approx(1.0)
+    assert kd[(1, 3)] == pytest.approx(-1.0)
+    assert kd[(4, 5)] == pytest.approx(2.0 / math.sqrt(6.0))
+    assert kd[(4, 5)] == kd[(5, 4)]
+    # R: sd-zero row → NA correlation; numpy NaN crosses the Arrow
+    # boundary as SQL NULL — the faithful rendering of R's NA
+    assert kd[(6, 7)] is None
+
+
+def test_kendall_matches_naive_reference(spark):
+    """Differential: the chunked vectorized tau-b ≡ a direct per-pair
+    O(d²) loop (the textbook formula), on deterministic pseudo-random
+    vectors including injected ties."""
+    import numpy as np
+
+    from matric_spark.operators.sparse import kendall_rows
+
+    rng = np.random.default_rng(11)
+    x1 = rng.normal(size=(40, 17))
+    x2 = rng.normal(size=(40, 17))
+    x1[:, 3] = np.round(x1[:, 3])  # force ties
+    x2[:, 5] = np.round(x2[:, 5])
+
+    def naive(a, b):
+        num = dx = dy = 0
+        d = len(a)
+        for i in range(d):
+            for j in range(i + 1, d):
+                sx = int(a[i] > a[j]) - int(a[i] < a[j])
+                sy = int(b[i] > b[j]) - int(b[i] < b[j])
+                num += sx * sy
+                dx += sx != 0
+                dy += sy != 0
+        return num / math.sqrt(dx * dy)
+
+    got = kendall_rows(x1, x2, _chunk=7)  # exercise chunk boundaries
+    want = [naive(x1[i], x2[i]) for i in range(len(x1))]
+    assert got == pytest.approx(want, rel=1e-12)
+
+
 def test_correlation_kernels_raise_on_nan_features(spark):
     """Complete-rows contract: NaN features must raise (not silently
     diverge from pairwise.complete.obs, R/sim_calculate.R:122-124)."""
@@ -89,7 +150,7 @@ def test_correlation_kernels_raise_on_nan_features(spark):
         [(1, [1.0, float("nan"), 3.0], 0), (2, [1.0, 2.0, 3.0], 0)],
         "id long, features array<double>, label int",
     )
-    for kernel in ("pearson", "spearman"):
+    for kernel in ("pearson", "spearman", "kendall"):
         with pytest.raises(Exception, match="complete rows"):
             sim_calculate(pop, kernel, strata=["label"]).collect()
     # cosine has no pairwise.complete.obs analog → NaN propagates, no raise
