@@ -51,6 +51,9 @@ WITH t AS (
 ), m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{{1,3}}| ?[^\\sA-Za-z0-9]+'
+         )) AS BIGINT) AS n_bpe_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) AS avg_token_len,
          len(list_filter(toks, x -> list_contains({stop}, x))) / len(toks) AS stopword_ratio,
@@ -58,7 +61,7 @@ WITH t AS (
            (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) / length(text)
          ELSE 0.0 END AS punct_ratio
   FROM t)
-SELECT doc_id, n_tokens, n_chars,
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
        round(avg_token_len, 6) AS avg_token_len,
        round(stopword_ratio, 6) AS stopword_ratio,
        round(punct_ratio, 6) AS punct_ratio,

@@ -43,6 +43,21 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+#: BPE-ish token pattern (GPT-2-family shape: contraction suffixes,
+#: letter runs, short digit runs, punctuation runs, each with an
+#: optional leading space). Deliberately lookahead-free so Java regex
+#: (Spark) and RE2 (the DuckDB oracle) match identically.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Subword-style token count: how many BPE-ish pattern matches the
+    text splits into — the standard cheap proxy for LLM token budgets
+    (exact BPE needs a merges table; the pattern pre-tokenizer is the
+    deterministic, engine-portable part)."""
+    return F.regexp_count(_c(text), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def _count_in(toks: Column, vocab: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in vocab])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

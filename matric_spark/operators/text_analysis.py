@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from matric_spark.functions.hashing import md5_long, word_shingles
 from matric_spark.functions.text import (
+    bpe_token_count,
     lang_scores,
     predicted_lang,
     punct_ratio,
@@ -33,6 +34,7 @@ def doc_text_stats(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         (
             F.aggregate(

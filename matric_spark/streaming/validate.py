@@ -15,8 +15,10 @@ based, not streaming-state based):
   exactly that equivalence.
 - `windowed_rates` is the genuinely-streaming piece: event-time windows
   + watermark for late data, counting turns and violation candidates
-  per (window, partition) — built-in windowed aggregation, no custom
-  stateful operator needed (SURVEY §2.13: none required).
+  per (window, partition) — built-in windowed aggregation (the checks
+  themselves need no custom stateful operator; the one semantics that
+  does — per-user gap sessions — lives in streaming/sessionize.py on
+  applyInPandasWithState).
 """
 
 from __future__ import annotations

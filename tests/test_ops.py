@@ -215,12 +215,38 @@ def test_text_stats_closed_form(spark):
     )
     r = doc_text_stats(docs).collect()[0]
     assert r.n_tokens == 3
+    # BPE-ish pre-tokenizer: "the"," cat",","," sat","!" → 5
+    assert r.n_bpe_tokens == 5
     assert r.n_chars == 13
     assert r.stopword_ratio == pytest.approx(1 / 3)
     assert r.punct_ratio == pytest.approx(2 / 13)
     assert r.quality == pytest.approx(
         (3 / 50) * (1 - abs(1 / 3 - 0.2)) * (1 - 2 / 13)
     )
+
+
+def test_bpe_token_count_edges(spark):
+    """Contractions split off, digit runs cap at 3, punctuation runs
+    fuse — the GPT-2-family pre-tokenizer shape (lookahead-free so the
+    DuckDB RE2 oracle counts identically)."""
+    from matric_spark.functions.text import bpe_token_count
+
+    rows = [
+        (0, "don't"),           # "don" + "'t" → 2
+        (1, "12345"),           # "123" + "45" → 2
+        (2, "hello,   world!!"),  # "hello" + "," + " world" + "!!" → 4...
+        (3, ""),                # → 0
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r.i: r.n for r in df.select("i", bpe_token_count("text").alias("n")).collect()
+    }
+    assert got[0] == 2
+    assert got[1] == 2
+    # "hello", ",", "  " unmatched mid-run spaces are skipped: " world"
+    # matches with its leading space, "!!" fuses → 4 matches total
+    assert got[2] == 4
+    assert got[3] == 0
 
 
 def test_fingerprint_invariance(spark, tiny_docs):

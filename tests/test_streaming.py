@@ -93,6 +93,76 @@ def test_streaming_cross_batch_duplicate_key_fails_uniqueness(spark, tmp_path):
     assert _rows(out) == _rows(batch)
 
 
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Differential: the applyInPandasWithState gap sessionizer emits
+    exactly the batch sessions (operators/events.sessionize) that are
+    provably closed. Every session followed by a later session of the
+    same user (closed by gap — deterministic, no timeout reliance) must
+    be emitted with identical (start, end, n_events, total_value);
+    nothing outside the batch result may ever be emitted."""
+    import datetime as dt
+
+    from matric_spark.operators.events import sessionize
+    from matric_spark.streaming.sessionize import stream_events, stream_sessionize
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", value, "{}")
+
+    ddl = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # user 1: three sessions (gaps at 40 and 95 min); user 2: two
+    # sessions split ACROSS files (cross-batch gap closure); user 3: one
+    # session whose events span files (cross-batch continuation)
+    batches = [
+        [ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 2, 0, 5.0), ev(4, 3, 5, 7.0)],
+        [ev(5, 1, 50, 3.0), ev(6, 3, 20, 7.5), ev(7, 2, 90, 5.5)],
+        [ev(8, 1, 145, 4.0), ev(9, 3, 40, 8.0), ev(10, 2, 100, 6.0)],
+    ]
+    d = str(tmp_path / "events_in")
+    for rows in batches:  # time-ordered files = ordered micro-batches
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(d)
+
+    stream = stream_events(spark, d)
+    q = (
+        stream_sessionize(stream, gap_minutes=30, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("select * from sessions_test").collect()
+    }
+
+    all_events = spark.createDataFrame(
+        [e for rows in batches for e in rows], ddl
+    )
+    batch = sessionize(all_events, gap_minutes=30).collect()
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
+        for r in batch
+    }
+    # nothing invented, values exact
+    for k, v in got.items():
+        assert want[k] == v
+    # every gap-closed session must have been emitted
+    last_start = {}
+    for r in batch:
+        cur = last_start.get(r.user_id)
+        if cur is None or r.session_start > cur:
+            last_start[r.user_id] = r.session_start
+    closed = {k for k in want if k[1] < last_start[k[0]]}
+    assert closed <= set(got)
+    assert len(closed) >= 3  # the fixture plants at least 3 gap closures
+
+
 def test_windowed_rates_monitor(spark, staged_stream_dir):
     from matric_spark.streaming.validate import stream_transcripts, windowed_rates
 
