@@ -111,11 +111,19 @@ def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from matric_spark.sources.testdata import rebalance_small_scan
+
+    return rebalance_small_scan(
+        spark, spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from matric_spark.sources.testdata import rebalance_small_scan
+
+    return rebalance_small_scan(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,24 +48,22 @@ def normalized_text(col: str = "text") -> F.Column:
 # --------------------------------------------------------------- exact
 
 
-def exact_duplicates(
-    df: DataFrame, text_col: str = "text", n_salt: int = 16
-) -> DataFrame:
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content hashes occurring >1× → DataFrame[content_fp, n_dups].
 
-    Two-phase salted aggregate (see checks/uniqueness.py for why): a
-    pathologically common document (crawl boilerplate) would otherwise
-    funnel its entire count through one reducer.
+    A plain hash aggregate on purpose: count is map-side combinable, so
+    Spark's partial aggregation already collapses a pathologically
+    common document (crawl boilerplate) to one row per input partition
+    BEFORE the shuffle — an explicit spark_partition_id salt would just
+    re-implement that partial-combine phase by hand. The salted
+    two-phase pattern earns its keep only where the pre-shuffle payload
+    is not combinable per key (checks/uniqueness.py 'hash' strategy,
+    where whole key tuples would otherwise cross the wire).
     """
     hashed = df.select(md5_long(normalized_text(text_col)).alias("content_fp"))
-    partial = (
-        hashed.withColumn("_salt", F.spark_partition_id() % n_salt)
-        .groupBy("content_fp", "_salt")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
     return (
-        partial.groupBy("content_fp")
-        .agg(F.sum("_c").alias("n_dups"))
+        hashed.groupBy("content_fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
         .filter(F.col("n_dups") > 1)
     )
 
@@ -153,39 +151,62 @@ def ngram_jaccard_pairs(
     exact unbounded join. tests/test_skew.py stress-tests the
     50%-boilerplate case.
     """
-    # `sets` feeds three consumers (both join sides + sizes); persist so
+    # `sets` feeds two consumers (candidate build + sizes); persist so
     # the shingle explode + md5 runs once, not per branch. Long-lived
     # sessions: release after materializing (spark.catalog.clearCache();
     # bench.py and tools/check_oracle.py do this between queries).
     from pyspark import StorageLevel
 
     sets = shingle_sets(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    join_sets = sets
-    if max_df is not None or max_df_frac is not None:
-        dfs = sets.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    bounded = max_df is not None or max_df_frac is not None
+    if bounded:
+        # Candidate pairs straight from per-shingle doc LISTS: one
+        # groupBy(h) shuffle replaces the two-sided self-join + separate
+        # df count (3 shuffles of the shingle relation → 1). The
+        # collect_list is bounded by the cutoff, the pair fan-out
+        # (C(k,2) structs) is generated JVM-side from the sorted list,
+        # and df==1 shingles — the vast majority of a real corpus —
+        # never leave the aggregate. Dropping them is EXACT (a shingle
+        # in one doc shares nothing); only the df>cutoff cut
+        # approximates.
+        grouped = sets.groupBy("h").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ds")
+        )
         if max_df is not None:
-            hot = dfs.filter(F.col("df") > max_df)
+            cutoff = F.lit(float(max_df))
         else:
             n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
             cutoff = F.greatest(
                 F.lit(max_df_frac) * F.col("_n"),
                 F.lit(float(min_df_floor)),
             )
-            hot = dfs.crossJoin(F.broadcast(n_docs)).filter(
-                F.col("df") > cutoff
+            grouped = grouped.crossJoin(F.broadcast(n_docs))
+        grouped = grouped.filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= cutoff)
+        )
+        ds = F.col("ds")
+        pair_structs = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + 2, F.size(ds)),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
             )
-        join_sets = sets.join(hot.select("h"), "h", "left_anti")
-    a = join_sets.select(F.col("doc_id").alias("id1"), "h")
-    b = join_sets.select(F.col("doc_id").alias("id2"), "h")
-    # shared-shingle counts fall straight out of the candidate join — one
+        )
+        cand = grouped.select(F.explode(pair_structs).alias("p")).select(
+            F.col("p.id1"), F.col("p.id2")
+        )
+    else:
+        # exact unbounded mode: self-equi-join (collect_list would be
+        # unbounded on a hot shingle)
+        a = sets.select(F.col("doc_id").alias("id1"), "h")
+        b = sets.select(F.col("doc_id").alias("id2"), "h")
+        cand = a.join(b, "h").filter(F.col("id1") < F.col("id2"))
+    # shared-shingle counts fall straight out of the candidate rows — one
     # aggregation, no distinct, no re-join of the shingle sets (which
     # would cost |candidates| × |shingles per doc| intermediate rows)
-    shared = (
-        a.join(b, "h")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    shared = cand.groupBy("id1", "id2").agg(F.count(F.lit(1)).alias("shared"))
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     return (
         shared.join(sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"}), "id1")

@@ -74,21 +74,22 @@ def kendall_rows(x1, x2, _chunk: int = 256):
     formula — the DuckDB oracle (duck_oracle.sim_strata_sql("kendall"))
     mirrors it term for term.
 
-    Memory: the d×d sign tensors are built per `_chunk` row pairs
-    (chunk·d² floats, ~2 MB at d=64), never for the whole Arrow batch.
+    Memory: sign matrices over the d(d−1)/2 index pairs are built per
+    `_chunk` row pairs (~4 MB at d=64, chunk=256), never for the whole
+    Arrow batch.
     """
     import numpy as np
 
-    n = x1.shape[0]
+    n, d = x1.shape
     out = np.empty(n, dtype=np.float64)
+    # index pairs hoisted once; sign diffs computed directly on the
+    # d(d-1)/2 pairs (never materializing the full d×d tensor)
+    iu0, iu1 = np.triu_indices(d, k=1)
     for s in range(0, n, _chunk):
         a = x1[s : s + _chunk]
         b = x2[s : s + _chunk]
-        sx = np.sign(a[:, :, None] - a[:, None, :])
-        sy = np.sign(b[:, :, None] - b[:, None, :])
-        iu = np.triu_indices(a.shape[1], k=1)
-        sxu = sx[:, iu[0], iu[1]]
-        syu = sy[:, iu[0], iu[1]]
+        sxu = np.sign(a[:, iu0] - a[:, iu1])
+        syu = np.sign(b[:, iu0] - b[:, iu1])
         num = np.einsum("ij,ij->i", sxu, syu)
         dx = np.count_nonzero(sxu, axis=1).astype(np.float64)
         dy = np.count_nonzero(syu, axis=1).astype(np.float64)

@@ -31,6 +31,11 @@ FROM embeddings
 
 
 def population_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT rebalance_small_scan'd: the population is consumed
+    # several times per sim query (both pair sides, features, annotate)
+    # and its per-row work is trivial — an injected repartition would add
+    # one shuffle stage per consumer, while the heavy work (pair windows,
+    # metrics aggregates) already runs at spark.sql.shuffle.partitions
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.select(
         F.col("vec_id").alias("id"),

@@ -164,6 +164,61 @@ def test_lsh_candidate_exchange_carries_ids_only(spark):
         assert "embedding" not in out_line and " v#" not in out_line, out_line
 
 
+def test_ngram_bounded_candidates_single_shuffle_no_self_join(spark):
+    """The default (bounded) ngram path must build candidate pairs from
+    per-shingle doc lists — ONE groupBy(h) shuffle of the shingle
+    relation, pair fan-out generated JVM-side — instead of a two-sided
+    self-equi-join plus a separate df-count pass (3 shuffles)."""
+    from matric_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i} zeta", "en", "s")
+         for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    )
+    p = plan(ngram_jaccard_pairs(docs, 0.1))
+    assert "collect_list" in p
+    assert "LeftAnti" not in p
+    assert "CartesianProduct" not in p
+    # only sort-merge joins allowed are the two size-attach joins on
+    # id1/id2 — the candidate build itself must not self-join on h
+    import re
+
+    smj_keys = re.findall(r"SortMergeJoin \[(\w+)#", p)
+    assert all(k in ("id1", "id2") for k in smj_keys), smj_keys
+
+
+def test_ann_topk_ivf_search_is_keyed_join_with_broadcast_queries(spark):
+    """The IVF search must join corpus↔probes on the cell id with the
+    (small) query side broadcast — never a cartesian scan of the corpus
+    per query (that would be brute force with extra steps)."""
+    from matric_spark.operators.ann import ann_topk_ivf
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3), 0.5]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 4")
+    p = plan(ann_topk_ivf(emb, q, k=3, n_centroids=4, nprobe=2))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_kendall_pair_join_is_keyed_not_cartesian(spark):
+    """The kendall blocked path reuses the strata equi-join pair-gen —
+    the Arrow kernel must sit on top of keyed joins, no cartesian."""
+    from matric_spark.operators.pairs import sim_calculate
+
+    pop = spark.createDataFrame(
+        [(i, [float(i), float(i % 5), 1.0], i % 4) for i in range(60)],
+        "id long, features array<double>, label int",
+    )
+    p = plan(sim_calculate(pop, "kendall", strata=["label"]))
+    assert "CartesianProduct" not in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p  # vectorized boundary
+
+
 def test_metrics_reuses_exchange_across_branches(spark):
     """sim_metrics' four consumers must reuse the persisted/exchanged
     scored relation, not recompute the pair pipeline per branch."""
