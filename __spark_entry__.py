@@ -445,6 +445,57 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(sessionize(ev, gap_minutes=30), ["total_value"])
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event gets the user's most recent view
+    at-or-before it (right side pre-deduped per (user, ts) so tie
+    resolution matches DuckDB's ASOF JOIN, which is unspecified on
+    duplicate right timestamps)."""
+    from matric_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(left, right, on=["user_id"], value_cols=["view_value"])
+    return _round6(out, ["value", "view_value_r"])
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list → duplicate clusters (connected components): transitive
+    closure of the ngram-Jaccard candidate pairs, canonical id = min
+    doc_id per cluster."""
+    from matric_spark.operators.dedup import ngram_jaccard_pairs
+    from matric_spark.operators.graph import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), 0.1)
+    return dedup_clusters(pairs)
+
+
+_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_STRAT_FRACS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.25}
+
+
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir), ["doc_id"], _SPLITS).select(
+        "doc_id", "split"
+    )
+
+
+def q_doc_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from matric_spark.operators.sampling import stratified_hash_sample
+
+    return stratified_hash_sample(
+        _docs(spark, sf_dir), ["doc_id"], "lang", _STRAT_FRACS
+    ).select("doc_id", "lang")
+
+
 def q_colstats_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcript_df(spark, sf_dir).filter(F.col("text").isNotNull())
     out = t.groupBy("part_month").agg(
@@ -539,6 +590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_verdicts": q_incremental_verdicts,
         "events_stats": q_events_stats,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "dedup_clusters": q_dedup_clusters,
+        "doc_split_assign": q_doc_split_assign,
+        "doc_sample_strat": q_doc_sample_strat,
         "text_parity": q_text_parity,
         "fk_summary": q_fk_summary,
     }
@@ -776,6 +831,29 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, session_id"""
+
+    sql["events_asof"] = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(value) AS view_value FROM events
+      WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS value,
+       r.ts AS ts_r, round(r.view_value, 6) AS view_value_r
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    sql["dedup_clusters"] = dk.dedup_clusters_sql(0.1)
+
+    sql["doc_split_assign"] = f"""
+SELECT doc_id, {dk.hash_split_sql(['doc_id'], _SPLITS)} AS split
+FROM documents"""
+
+    _strat_case = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_STRAT_FRACS.items())
+    )
+    sql["doc_sample_strat"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {dk.hash_uniform_sql(['doc_id'], 'sample-v1')}
+      < CASE lang {_strat_case} ELSE 0.0 END"""
 
     sql["fk_summary"] = """
 SELECT 'orders.o_custkey->customer' AS fk,

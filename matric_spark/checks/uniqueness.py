@@ -17,7 +17,7 @@ occurs so often that even partial counts flood one reducer's hash table
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,41 @@ def duplicate_keys(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return counts.filter(F.col("n_dup") > 1)
+
+
+def duplicate_row_counts(
+    df: DataFrame, key: list[str], part_col: str
+) -> DataFrame:
+    """Per-partition count of rows participating in globally-duplicated
+    keys → DataFrame[part, n] (parts with zero violations absent).
+
+    The JOIN-FREE formulation for the verdict path: two stacked window
+    counts. W1 groups by xxhash64(key) — the full-table shuffle moves an
+    8-byte key, and the in-partition count is a sort of longs, not a
+    153M-entry hash table. Only candidate rows (hash count > 1) reach W2,
+    which re-counts over the REAL key to void 64-bit collisions exactly.
+    On dup-heavy data this beats `uniqueness_violations` + groupBy ~2×:
+    that path re-joins the duplicate-key set back to the table, and when
+    duplicates are a double-digit percentage the "tiny broadcast
+    semi-join" becomes two full shuffle joins carrying string keys
+    (measured 4->16-core on 153.6M turns: 227s->70s joins vs 107s->33s
+    windows, identical results; both scale at ~0.81).
+    """
+    h = F.xxhash64(*key)
+    w1 = Window.partitionBy("_h")
+    w2 = Window.partitionBy(*key)
+    cand = (
+        df.select(*key, part_col)
+        .withColumn("_h", h)
+        .withColumn("_n", F.count(F.lit(1)).over(w1))
+        .filter(F.col("_n") > 1)
+    )
+    exact = cand.withColumn("_m", F.count(F.lit(1)).over(w2)).filter(
+        F.col("_m") > 1
+    )
+    return exact.groupBy(F.col(part_col).alias("part")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 def uniqueness_violations(

@@ -609,3 +609,60 @@ r AS (SELECT qid, vec_id, cosine,
       FROM s)
 SELECT qid, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {k}"""
+
+
+# graph / sampling / temporal ----------------------------------------------
+
+
+def dedup_clusters_sql(
+    threshold: float = 0.1,
+    n: int = 3,
+    max_df_frac: float | None = 0.05,
+    min_df_floor: int = 100,
+) -> str:
+    """Connected components over the ngram-Jaccard pair list via a
+    recursive CTE (min reachable id = cluster id) — tractable at oracle
+    scale; the Spark side uses pointer-jumped label propagation."""
+    pairs = ngram_jaccard_sql(threshold, n, max_df_frac, min_df_floor)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs}),
+edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+nodes AS (SELECT DISTINCT s AS v FROM edges),
+walk(v, l) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT e.d, w.l FROM walk w JOIN edges e ON e.s = w.v),
+cc AS (SELECT v AS doc_id, min(l) AS cluster_id FROM walk GROUP BY v),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM cc GROUP BY 1)
+SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+FROM cc JOIN sz USING (cluster_id)"""
+
+
+def hash_uniform_sql(id_exprs: list[str], salt: str) -> str:
+    """Mirrors operators/sampling.hash_uniform bit-for-bit: salted
+    \\x1f-joined key -> 60-bit md5 -> /2^60 (exact double literal)."""
+    keys = ", ".join(f"CAST({e} AS VARCHAR)" for e in id_exprs)
+    key = f"concat_ws(chr(31), '{salt}', {keys})"
+    return f"({hexbig(key)} / 1152921504606846976.0)"
+
+
+def hash_split_sql(
+    id_exprs: list[str],
+    splits: dict[str, float],
+    salt: str = "split-v1",
+) -> str:
+    """CASE expression replicating hash_split's threshold accumulation
+    with IDENTICAL float ops (same Python accumulation, repr-embedded
+    literals), so 0.9 + 0.05 -> 0.9500000000000001 on both engines."""
+    total = sum(splits.values())
+    u = hash_uniform_sql(id_exprs, salt)
+    names = list(splits)
+    acc = 0.0
+    whens = []
+    for name in names[:-1]:
+        acc += splits[name] / total
+        whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"

@@ -1,0 +1,118 @@
+"""Connected components over candidate-pair graphs → dedup clusters.
+
+The dedup operators (operators/dedup.py) emit PAIR lists (id1, id2). A
+real corpus-prep pipeline must resolve those pairs into CLUSTERS and pick
+one canonical document per cluster — duplicate groups are transitive
+(A~B, B~C → {A,B,C} even when A~C itself fell below threshold), so this
+is graph connected components, not another join.
+
+Scale design (the part that matters at 100 TB):
+- min-label propagation with POINTER JUMPING: each round sets
+  l(v) <- min(l(v), min_{u in N(v)} l(u), l(l(v))). The extra l(l(v))
+  hop halves chain depth per round, so convergence is O(log diameter)
+  rounds instead of O(diameter) — the difference between 5 and 5,000
+  Spark jobs on a pathological chain of near-dups.
+- every shuffle carries ids only (two longs per row); texts/vectors
+  never enter the loop.
+- convergence is detected by sum(l) reaching a fixpoint — labels only
+  ever decrease, so the sum is a strictly-decreasing monotone until
+  converged; ONE cheap aggregate action per round, no row-wise
+  old-vs-new join.
+- lineage is cut each round (localCheckpoint) so the plan does not grow
+  by two joins per iteration — without this, round k replays rounds
+  1..k-1 and the driver eventually dies on plan size.
+
+Reference lineage: matric has no clustering (its `sim_df` stays a pair
+list end-to-end, R/sim_calculate.R); this is new Spark-native
+engineering for the training-data dedup suite, following the
+large-star/small-star family (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) in its hash-partitioned, ids-only shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Resolve an undirected pair list into components.
+
+    Returns DataFrame[v, cluster_id] covering every node that appears in
+    `pairs`; cluster_id is the MINIMUM node id of the component (stable,
+    order-free). Nodes absent from `pairs` are singletons by definition
+    and are not emitted — callers wanting them can left-join this result
+    onto the full id set and coalesce(cluster_id, id).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
+        "l", F.col("v")
+    )
+    def _label_sum(lbl: DataFrame):
+        # decimal(38,0): sum of ~1e9 60-bit content-hash ids overflows
+        # int64; labels only ever decrease, so sum-unchanged <=> converged
+        return lbl.agg(F.sum(F.col("l").cast("decimal(38,0)"))).collect()[0][0]
+
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = _label_sum(labels)
+
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("v").alias("b"), F.col("l").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_l"))
+            .withColumnRenamed("a", "v")
+        )
+        stepped = labels.join(nbr_min, "v", "left").select(
+            "v", F.least("l", F.coalesce("nbr_l", "l")).alias("l")
+        )
+        # pointer jump: follow the label one hop (l <- min(l, l(l)))
+        jumped = stepped.join(
+            labels.select(F.col("v").alias("l"), F.col("l").alias("ll")),
+            "l",
+            "left",
+        ).select("v", F.least("l", F.coalesce("ll", "l")).alias("l"))
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds"
+        )
+    return labels.select("v", F.col("l").alias("cluster_id"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2"
+) -> DataFrame:
+    """Cluster membership for every doc in a dup-pair list:
+    DataFrame[doc_id, cluster_id, cluster_size], cluster_id = min doc id
+    of the cluster (the canonical representative — keep `doc_id ==
+    cluster_id`, drop the rest)."""
+    cc = connected_components(pairs, src=id1, dst=id2)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    # NOT broadcast: at corpus scale the cluster list is itself huge
+    # (every dup group), so this is a plain shuffle join on cluster_id;
+    # AQE downgrades it to broadcast automatically when small.
+    return (
+        cc.select(F.col("v").alias("doc_id"), "cluster_id")
+        .join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+    )

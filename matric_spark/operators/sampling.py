@@ -1,0 +1,106 @@
+"""Deterministic hash-based sampling and train/val/test splitting.
+
+Training-data pipelines must split and sample REPRODUCIBLY: the same
+document must land in the same split on every run, on any cluster size,
+regardless of row order — so `rand()` (per-task, order-dependent) is out.
+Every assignment here derives from a salted content hash of the row's
+natural key:
+
+    u(row) = md5_long(salt || key) / 2^60   ∈ [0, 1)
+
+which is a pure narrow map (no shuffle, no state, trivially pushdown-
+friendly) and is recomputed bit-for-bit by the DuckDB oracle via the
+shared md5 construction (functions/hashing.py). Changing `salt` yields
+an independent re-draw — the standard way to fix "my val split leaked
+into pretraining" without touching the key schema.
+
+Reference lineage: matric has no sampling (its populations are already
+curated); this is new Spark-native engineering for the corpus-prep
+suite. The salted-hash-threshold construction is the standard public
+technique (e.g. `hash(id) mod N` bucketing in every large-scale dataset
+paper since CC-News).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from matric_spark.functions.hashing import md5_long
+
+#: md5_long yields 15 hex digits = 60 bits
+_HASH_SPACE = float(2**60)
+
+
+def hash_uniform(id_cols: list[str], salt: str = "") -> Column:
+    """Deterministic uniform [0,1) draw from the row's key columns.
+
+    Key columns are cast to string and joined with an \\x1f separator
+    (never appears in normal keys) so ("ab","c") != ("a","bc").
+    """
+    key = F.concat_ws(
+        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in id_cols]
+    )
+    return md5_long(key) / F.lit(_HASH_SPACE)
+
+
+def hash_split(
+    df: DataFrame,
+    id_cols: list[str],
+    splits: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by hash threshold.
+
+    `splits` maps name → weight (normalized internally); assignment is by
+    cumulative-weight intervals over the uniform draw, in the given dict
+    order, so {"train": .9, "val": .05, "test": .05} gives
+    u < .9 → train, u < .95 → val, else test. Total coverage and
+    disjointness hold by construction.
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    u = hash_uniform(id_cols, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_cols: list[str],
+    fraction: float,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic ~`fraction` subsample: keep rows with u < fraction."""
+    return df.filter(hash_uniform(id_cols, salt) < F.lit(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_cols: list[str],
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample by language).
+
+    `fractions` maps stratum value → keep fraction; strata not listed
+    keep `default_fraction`. One narrow filter — no shuffle, no
+    per-stratum scans (contrast `df.sampleBy`, which is seed-stable but
+    partition-order-dependent under repartitioning).
+    """
+    frac = F.lit(float(default_fraction))
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, float(f)).otherwise(frac)
+    return df.filter(hash_uniform(id_cols, salt) < frac)

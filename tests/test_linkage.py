@@ -1,0 +1,197 @@
+"""Tests for connected-components clustering, deterministic sampling/
+splitting, and the as-of join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from matric_spark.operators.events import asof_join
+from matric_spark.operators.graph import connected_components, dedup_clusters
+from matric_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    hash_uniform,
+    stratified_hash_sample,
+)
+
+
+def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # long chain (worst case for plain propagation — exercises
+        # pointer jumping), plus a separate triangle and a 2-clique
+        [(i, i + 1) for i in range(0, 40)] + [(100, 101), (101, 102), (100, 102), (200, 201)],
+        # star with high center, reversed edge order
+        [(50, i) for i in range(10)],
+        # duplicate + self edges must be ignored
+        [(1, 2), (2, 1), (3, 3), (2, 3), (2, 3)],
+    ],
+)
+def test_connected_components_vs_union_find(spark, edges):
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    want = _brute_components([(a, b) for a, b in edges if a != b])
+    assert got == want
+
+
+def test_dedup_clusters_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id1", "id2"]
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert out == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)
+    }
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_hash_split_disjoint_complete_deterministic(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # complete + disjoint
+    assert 1500 < counts["train"] < 1700  # ~1600
+    assert 120 < counts["val"] < 280 and 120 < counts["test"] < 280
+    # deterministic across invocations and independent of row order
+    again = hash_split(
+        df.orderBy(F.rand(7)), ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    assert out.exceptAll(again).count() == 0
+    # a different salt re-draws: some rows must move
+    moved = hash_split(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split-v2",
+    )
+    assert out.exceptAll(moved).count() > 0
+
+
+def test_hash_sample_fraction_and_subset(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    s10 = hash_sample(df, ["doc_id"], 0.1)
+    n = s10.count()
+    assert 380 < n < 620  # ~500
+    # nesting: a 5% sample with the same salt is a subset of the 10%
+    s5 = hash_sample(df, ["doc_id"], 0.05)
+    assert s5.exceptAll(s10).count() == 0
+
+
+def test_stratified_sample_per_stratum(spark):
+    rows = [(i, "en" if i % 2 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_hash_sample(
+        df, ["doc_id"], "lang", {"en": 1.0, "de": 0.25}
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["en"] == 2000  # frac 1.0 keeps everything
+    assert 380 < counts["de"] < 620  # ~500
+    # unlisted strata default to dropped
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert stratified_hash_sample(
+        df2, ["doc_id"], "lang", {"en": 1.0}
+    ).count() == 0
+
+
+def test_hash_uniform_key_separator(spark):
+    # ("ab","c") and ("a","bc") must draw differently
+    df = spark.createDataFrame([("ab", "c"), ("a", "bc")], ["k1", "k2"])
+    us = [r["u"] for r in
+          df.select(hash_uniform(["k1", "k2"]).alias("u")).collect()]
+    assert us[0] != us[1]
+    assert all(0.0 <= u < 1.0 for u in us)
+
+
+# -------------------------------------------------------------- as-of
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l0"), (1, _ts(25), "l1"), (2, _ts(5), "l2"),
+         (3, _ts(50), "l3")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1.0), (1, _ts(20), 2.0), (1, _ts(30), 3.0),
+         (2, _ts(5), 9.0)],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["tag"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out["l0"] == (_ts(5), 1.0)
+    assert out["l1"] == (_ts(20), 2.0)
+    assert out["l2"] == (_ts(5), 9.0)  # inclusive: equal ts matches
+    assert out["l3"] == (None, None)  # key 3 has no right rows
+    # strict mode: l2's equal-ts right row no longer matches
+    strict = {
+        r["tag"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(left, right, on=["k"], strict=True).collect()
+    }
+    assert strict["l2"] == (None, None)
+    assert strict["l0"] == (_ts(5), 1.0)
+
+
+def test_asof_join_tie_and_nulls(spark):
+    left = spark.createDataFrame([(1, _ts(10), "x")], ["k", "ts", "tag"])
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0), (1, _ts(10), 5.0), (None, _ts(1), 9.0)],
+        ["k", "ts", "v"],
+    )
+    out = asof_join(left, right, on=["k"]).collect()
+    assert len(out) == 1
+    # duplicate right (key, ts): deterministic max-payload resolution
+    assert out[0]["v_r"] == 5.0
+
+
+def test_asof_join_matches_pandas_brute_force(spark):
+    import random
+
+    rnd = random.Random(7)
+    left = [(rnd.randrange(5), _ts(rnd.randrange(1000)), i)
+            for i in range(200)]
+    right = [(rnd.randrange(5), _ts(rnd.randrange(1000)), float(i))
+             for i in range(300)]
+    ldf = spark.createDataFrame(left, ["k", "ts", "i"])
+    rdf = spark.createDataFrame(right, ["k", "ts", "v"])
+    got = {r["i"]: r["v_r"]
+           for r in asof_join(ldf, rdf, on=["k"]).collect()}
+    for k, ts, i in left:
+        cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (k, ts, i)

@@ -229,3 +229,53 @@ def test_metrics_reuses_exchange_across_branches(spark):
     out = sim_metrics(df, ["id1"])
     p = plan(out)
     assert ("InMemoryTableScan" in p) or ("ReusedExchange" in p)
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """asof_join must compile to ONE hash-partitioned exchange on the
+    keys + a window sort — no join operator of any kind (the union-scan
+    formulation), so there is nothing to explode on skewed keys."""
+    import datetime as dt
+
+    from matric_spark.operators.events import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i % 3, t0 + dt.timedelta(seconds=i), i) for i in range(50)],
+        "k int, ts timestamp, i int",
+    )
+    right = spark.createDataFrame(
+        [(i % 3, t0 + dt.timedelta(seconds=2 * i), float(i)) for i in range(30)],
+        "k int, ts timestamp, v double",
+    )
+    p = plan(asof_join(left, right, on=["k"]))
+    for j in ["SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin", "ShuffledHashJoin"]:
+        assert j not in p, j
+    # exactly one exchange, and it is a hash partitioning on the keys
+    assert p.count("(Exchange") + p.count("- Exchange") == 1
+    assert "hashpartitioning(k#" in p
+    assert "Window" in p
+
+
+def test_connected_components_shuffles_ids_only(spark):
+    """The label-propagation loop must never carry anything except the
+    two long columns — no wide payloads in its exchanges."""
+    from matric_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], ["id1", "id2"]
+    ).withColumn("payload", F.lit("x" * 100))
+    out = connected_components(pairs)
+    assert set(out.columns) == {"v", "cluster_id"}
+    # the payload column must not survive into the loop's plan
+    assert "payload" not in plan(out)
+
+
+def test_hash_split_is_narrow_no_shuffle(spark):
+    """Split assignment is a pure map: zero exchanges in the plan."""
+    from matric_spark.operators.sampling import hash_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    p = plan(hash_split(df, ["doc_id"]))
+    assert "Exchange" not in p

@@ -14,8 +14,10 @@ Method notes (what made the measurement honest):
   splits (one small source file), serializing the map side at any core
   count — input splits, not the session's shuffle setting, decide the
   map-side parallelism, exactly as on a real cluster.
-- Each level runs in a fresh subprocess (fresh JVM), `runs` repetitions,
-  best wall time kept (JIT/scan-cache warmed by an untimed count).
+- Each repetition runs in a fresh subprocess (fresh JVM), repetitions
+  INTERLEAVED low/high/low/high so thermal drift hits both levels
+  equally; best wall time per level kept (JIT/scan-cache warmed by an
+  untimed count).
 - Shuffle partitions scale with the core count (session.py), so the
   reduce side also widens from N to 4N.
 
@@ -44,13 +46,19 @@ sf_dir = os.environ["SB_SF_DIR"]
 out = os.environ["SB_INPUT"]
 files = int(os.environ["SB_FILES"])
 
-spark = get_spark(app_name="scaling_prepare", cpus=8)
-base = transcript_df(spark, sf_dir)
+spark = get_spark(app_name="scaling_prepare", cpus=16)
+# repartition BEFORE the explode: the source is one small parquet file
+# (1-2 input splits), so exploding first would serialize the copies-x
+# fan-out onto a single task
+base = transcript_df(spark, sf_dir).repartition(files)
 scaled = base.withColumn("_c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1))))
 scaled = scaled.withColumn(
     "conv_id", F.concat_ws("#", F.col("conv_id"), F.col("_c").cast("string"))
 ).drop("_c")
-scaled.repartition(files).write.mode("overwrite").parquet(out)
+# no post-explode repartition: the pre-explode repartition already
+# yields `files` balanced partitions, and re-shuffling would move the
+# full exploded volume
+scaled.write.mode("overwrite").parquet(out)
 print("PREPARED")
 """
 
@@ -100,8 +108,12 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--files", type=int, default=96)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--input-dir", default="/tmp/graft_scaling_input")
+    ap.add_argument("--input-dir", default=None)
     args = ap.parse_args()
+    if args.input_dir is None:
+        # copies-specific dir: a stale marker from a different --copies
+        # must not be silently reused
+        args.input_dir = f"/tmp/graft_scaling_input_x{args.copies}"
 
     env = dict(
         os.environ,
@@ -119,12 +131,21 @@ def main() -> None:
     if not os.path.exists(marker):
         _run(_PREPARE, env)
 
-    levels = {}
-    for cpus in (args.low, args.high):
-        env["SB_CPUS"] = str(cpus)
-        out = _run(_CHILD, env)
-        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
-        levels[cpus] = json.loads(lines[-1])
+    # INTERLEAVED repetitions (low, high, low, high, ...): running all
+    # low-level reps then all high-level reps biases the comparison by
+    # thermal drift — the second level always runs on a hotter package.
+    # One rep per subprocess; best wall time per level kept.
+    levels: dict[int, dict] = {}
+    env["SB_RUNS"] = "1"
+    for _ in range(args.runs):
+        for cpus in (args.low, args.high):
+            env["SB_CPUS"] = str(cpus)
+            out = _run(_CHILD, env)
+            lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+            rep = json.loads(lines[-1])
+            best = levels.get(cpus)
+            if best is None or rep["sec"] < best["sec"]:
+                levels[cpus] = rep
 
     lo, hi = levels[args.low], levels[args.high]
     ratio = args.high / args.low
