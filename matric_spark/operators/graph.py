@@ -40,6 +40,8 @@ def connected_components(
     src: str = "id1",
     dst: str = "id2",
     max_rounds: int = 50,
+    strategy: str = "auto",
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Resolve an undirected pair list into components.
 
@@ -48,12 +50,34 @@ def connected_components(
     order-free). Nodes absent from `pairs` are singletons by definition
     and are not emitted — callers wanting them can left-join this result
     onto the full id set and coalesce(cluster_id, id).
+
+    strategy='auto' (default) is a cost-based switch in the spirit of
+    matric's filter-strategy switch (R/sim_filter.R:179-206): a pair
+    list small enough to hold on the driver (<= local_threshold edges)
+    is solved by exact union-find in one collect — O(E α(E)) with zero
+    Spark rounds, the right call when near-dup candidates are a sliver
+    of the corpus — while anything larger runs the distributed
+    label-propagation loop. 'distributed' / 'local' force a path; both
+    are differential-tested equal.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    id_type = pairs.schema[src].dataType.simpleString()
+    # materialize the edge list ONCE: upstream pair generation is
+    # typically an expensive dedup pipeline (shingle joins, LSH), and
+    # both the strategy decision and every propagation round would
+    # otherwise re-evaluate it from scratch per action
+    e = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
+    if strategy == "auto":
+        n_edges = e.count()  # cheap: counts the checkpointed relation
+        strategy = "local" if n_edges <= local_threshold else "distributed"
+    if strategy == "local":
+        return _local_components(pairs.sparkSession, e.collect(), id_type)
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
         "l", F.col("v")
@@ -95,6 +119,33 @@ def connected_components(
             f"connected_components: no fixpoint after {max_rounds} rounds"
         )
     return labels.select("v", F.col("l").alias("cluster_id"))
+
+
+def _local_components(spark, edges, id_type: str) -> DataFrame:
+    """Driver-side union-find (path halving + min-root union) over a
+    collected edge list; returns the same (v, cluster_id) frame as the
+    distributed path."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in edges:
+        a, b = row[0], row[1]
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(
+        out, f"v {id_type}, cluster_id {id_type}"
+    )
 
 
 def dedup_clusters(

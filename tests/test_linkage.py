@@ -36,6 +36,7 @@ def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {v: find(v) for v in parent}
 
 
+@pytest.mark.parametrize("strategy", ["distributed", "local", "auto"])
 @pytest.mark.parametrize(
     "edges",
     [
@@ -48,14 +49,28 @@ def _brute_components(edges: list[tuple[int, int]]) -> dict[int, int]:
         [(1, 2), (2, 1), (3, 3), (2, 3), (2, 3)],
     ],
 )
-def test_connected_components_vs_union_find(spark, edges):
+def test_connected_components_vs_union_find(spark, edges, strategy):
     df = spark.createDataFrame(edges, ["id1", "id2"])
     got = {
         r["v"]: r["cluster_id"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, strategy=strategy).collect()
     }
     want = _brute_components([(a, b) for a, b in edges if a != b])
     assert got == want
+
+
+def test_connected_components_auto_switches_to_distributed(spark):
+    """Above local_threshold the auto path must fall through to the
+    distributed loop and still match union-find."""
+    edges = [(i, i + 1) for i in range(0, 300, 2)] + [(7, 207)]
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(
+            df, strategy="auto", local_threshold=10
+        ).collect()
+    }
+    assert got == _brute_components(edges)
 
 
 def test_dedup_clusters_sizes(spark):

@@ -266,7 +266,7 @@ def test_connected_components_shuffles_ids_only(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(20)], ["id1", "id2"]
     ).withColumn("payload", F.lit("x" * 100))
-    out = connected_components(pairs)
+    out = connected_components(pairs, strategy="distributed")
     assert set(out.columns) == {"v", "cluster_id"}
     # the payload column must not survive into the loop's plan
     assert "payload" not in plan(out)
