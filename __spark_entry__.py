@@ -465,6 +465,46 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["value", "view_value_r"])
 
 
+def q_events_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase gets the user's NEXT error at-or-
+    after it (right pre-deduped per (user, ts) as in events_asof)."""
+    from matric_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    out = asof_join(
+        left, right, on=["user_id"], value_cols=["err_value"],
+        direction="forward",
+    )
+    return _round6(out, ["value", "err_value_r"])
+
+
+def q_events_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: error events inside each gap session's
+    [start, end] window, aggregated per session (bucketized range join,
+    operators/events.interval_join)."""
+    from matric_spark.operators.events import interval_join, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = sessionize(ev, gap_minutes=30)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    j = interval_join(sess, err, ["user_id"])
+    out = j.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum("value").alias("err_value"),
+    )
+    return _round6(out, ["err_value"])
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair list → duplicate clusters (connected components): transitive
     closure of the ngram-Jaccard candidate pairs, canonical id = min
@@ -591,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stats": q_events_stats,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_asof_fwd": q_events_asof_fwd,
+        "events_session_errors": q_events_session_errors,
         "dedup_clusters": q_dedup_clusters,
         "doc_split_assign": q_doc_split_assign,
         "doc_sample_strat": q_doc_sample_strat,
@@ -818,7 +860,7 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 6) AS p95_value
 FROM events GROUP BY event_type"""
 
-    sql["events_sessionize"] = """
+    _sessionize_sql = """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
          epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
@@ -831,6 +873,27 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        round(sum(value), 6) AS total_value
 FROM s GROUP BY user_id, session_id"""
+    sql["events_sessionize"] = _sessionize_sql
+
+    sql["events_asof_fwd"] = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, max(value) AS err_value FROM events
+      WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS value,
+       r.ts AS ts_r, round(r.err_value, 6) AS err_value_r
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts"""
+
+    sql["events_session_errors"] = f"""
+WITH sess AS ({_sessionize_sql}),
+err AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT s.user_id, s.session_id,
+       CAST(count(*) AS BIGINT) AS n_errors,
+       round(sum(e.value), 6) AS err_value
+FROM sess s JOIN err e
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end
+GROUP BY 1, 2"""
 
     sql["events_asof"] = """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events

@@ -34,13 +34,16 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
     suffix: str = "_r",
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, attach the right row
-    with the greatest `right_ts` <= left's `left_ts` (strictly < when
-    `strict`) within the same `on` keys; left rows with no prior right
-    row keep nulls (left-outer semantics). Matched right columns come
-    back as `{right_ts}{suffix}` and `{c}{suffix}` for each value col.
+    """As-of join: for each left row, attach the right row with the
+    greatest `right_ts` <= left's `left_ts` (direction='backward', the
+    default; strictly < when `strict`) or the smallest `right_ts` >=
+    `left_ts` (direction='forward'; strictly > when `strict`) within
+    the same `on` keys; left rows with no matching right row keep nulls
+    (left-outer semantics). Matched right columns come back as
+    `{right_ts}{suffix}` and `{c}{suffix}` for each value col.
 
     Scale shape — the union-scan formulation, NOT a join: both inputs
     are tagged and unioned, then ONE window pass per key carries the
@@ -69,8 +72,11 @@ def asof_join(
         F.col(right_ts).alias(ts_out),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction!r}")
     # marker orders right rows before left at equal ts for inclusive
-    # (<=) semantics, after left for strict (<)
+    # semantics, after left for strict; 'forward' is 'backward' run over
+    # a time-reversed ordering (same single-shuffle window)
     r_marker, l_marker = (1, 0) if strict else (0, 1)
     keys_ok = F.lit(True)
     for k in on:  # null keys never match
@@ -90,9 +96,16 @@ def asof_join(
         F.lit(l_marker).alias("_m"),
         F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
     )
+    # forward = time-reversed backward; null-ts left rows sort FIRST in
+    # either direction so their frame holds no right rows (never match)
+    ts_ord = (
+        F.col("_ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_ts").desc_nulls_first()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_m", F.col("_rv").asc_nulls_first())
+        .orderBy(ts_ord, "_m", F.col("_rv").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l.unionByName(r).withColumn(
@@ -102,6 +115,65 @@ def asof_join(
         *left.columns,
         *[F.col(f"_match.{f}") for f in (ts_out,
                                          *[f"{c}{suffix}" for c in value_cols])],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    start: str = "session_start",
+    end: str = "session_end",
+    right_ts: str = "ts",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Range (interval-containment) join: every (left, right) pair with
+    the same `on` keys and `start` <= right's `right_ts` <= `end`
+    (inclusive both ends). Result carries all left columns plus the
+    right's non-key columns.
+
+    Scale shape — the BUCKETIZED range join: naively this is an
+    inequality join, which Spark can only execute as a per-key cross
+    product filtered after the fact (quadratic in rows-per-key, and a
+    BroadcastNestedLoopJoin when the key is omitted). Instead, time is
+    quantized into `bucket_minutes` buckets; each left interval explodes
+    into the buckets it spans, each right row lands in exactly one
+    bucket, and the join becomes an EQUI-join on (keys..., bucket) with
+    an exact containment filter after it. Cost: |L| x avg-span/bucket
+    exploded rows — tunable; buckets also break up hot keys, since the
+    shuffle key is (key, bucket). No dedup pass is needed because the
+    right side is never exploded. Pick bucket_minutes near the median
+    interval length: too small explodes left, too large degenerates
+    toward per-key cross products.
+
+    Rows with a null key, bound, or timestamp never match (dropped).
+    Reference lineage: none in matric; standard public range-join
+    bucketing (e.g. Spark's own range-join hints on Delta, Flink
+    interval joins) expressed with plain DataFrame ops.
+    """
+    width = int(bucket_minutes) * 60
+    lb = F.floor(F.unix_timestamp(F.col(start)) / width)
+    ub = F.floor(F.unix_timestamp(F.col(end)) / width)
+    l = left.filter(
+        F.col(start).isNotNull() & F.col(end).isNotNull()
+        & (F.col(end) >= F.col(start))
+    ).withColumn("_b", F.explode(F.sequence(lb, ub)))
+    r = right.filter(F.col(right_ts).isNotNull()).withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(right_ts)) / width)
+    )
+    rename = {
+        c: f"{c}_r" for c in right.columns
+        if c not in on and c in left.columns
+    }
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    ts_col = rename.get(right_ts, right_ts)
+    return (
+        l.join(r, [*on, "_b"])
+        .filter(
+            (F.col(ts_col) >= F.col(start)) & (F.col(ts_col) <= F.col(end))
+        )
+        .drop("_b")
     )
 
 

@@ -194,6 +194,64 @@ def test_asof_join_tie_and_nulls(spark):
     assert out[0]["v_r"] == 5.0
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "l0"), (1, _ts(25), "l1"), (2, _ts(99), "l2")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 1.0), (1, _ts(10), 2.0), (1, _ts(30), 3.0)],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["tag"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(
+            left, right, on=["k"], direction="forward"
+        ).collect()
+    }
+    assert out["l0"] == (_ts(10), 2.0)  # inclusive: equal ts matches
+    assert out["l1"] == (_ts(30), 3.0)
+    assert out["l2"] == (None, None)
+    strict = {
+        r["tag"]: r["v_r"]
+        for r in asof_join(
+            left, right, on=["k"], direction="forward", strict=True
+        ).collect()
+    }
+    assert strict["l0"] == 3.0  # equal ts excluded -> next is ts 30
+
+
+def test_interval_join_vs_brute_force(spark):
+    import random
+
+    rnd = random.Random(11)
+    ivals = []
+    for i in range(80):
+        s = rnd.randrange(3000)
+        ivals.append((rnd.randrange(4), _ts(s), _ts(s + rnd.randrange(600)), i))
+    points = [(rnd.randrange(4), _ts(rnd.randrange(3600)), float(j))
+              for j in range(300)]
+    ldf = spark.createDataFrame(
+        ivals, ["k", "session_start", "session_end", "i"]
+    )
+    rdf = spark.createDataFrame(points, ["k", "ts", "v"])
+    from matric_spark.operators.events import interval_join
+
+    # bucket width much smaller than spans to exercise multi-bucket
+    # explode + the no-duplicates property
+    got = sorted(
+        (r["i"], r["v"])
+        for r in interval_join(ldf, rdf, ["k"], bucket_minutes=2).collect()
+    )
+    want = sorted(
+        (i, v)
+        for k, s, e, i in ivals
+        for rk, ts, v in points
+        if rk == k and s <= ts <= e
+    )
+    assert got == want
+
+
 def test_asof_join_matches_pandas_brute_force(spark):
     import random
 
