@@ -279,3 +279,26 @@ def test_hash_split_is_narrow_no_shuffle(spark):
     df = spark.range(100).withColumnRenamed("id", "doc_id")
     p = plan(hash_split(df, ["doc_id"]))
     assert "Exchange" not in p
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The bucketized range join must compile to an equi-join on
+    (keys, bucket) — never a BroadcastNestedLoopJoin / cartesian, which
+    is what a naive inequality join degenerates to."""
+    import datetime as dt
+
+    from matric_spark.operators.events import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i % 3, t0, t0 + dt.timedelta(minutes=90), i) for i in range(30)],
+        "k int, session_start timestamp, session_end timestamp, i int",
+    )
+    right = spark.createDataFrame(
+        [(i % 3, t0 + dt.timedelta(minutes=i), float(i)) for i in range(60)],
+        "k int, ts timestamp, v double",
+    )
+    p = plan(interval_join(left, right, ["k"]))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "_b" in p  # joined through the bucket column
