@@ -37,8 +37,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
+    # `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 == +0.0): rank
+    # vectors with the right tie structure yield centered dots of exactly
+    # -0.0, and the driver's value hash is byte-strict. The oracle side
+    # mirrors this with `+ 0` after every final round(..., 6).
     for c in cols:
-        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6) + F.lit(0.0))
     return df
 
 
@@ -232,6 +236,49 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ["cosine"],
     )
+
+
+def q_emb_lsh_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundness (precision) gate for the LSH near-dup path: every emitted
+    LSH pair must appear in the exact all-pairs result with an identical
+    6dp cosine — blocking may only DROP pairs, never invent one. The
+    violation set must be empty, which the driver's equality hash checks
+    against an empty oracle. Cross-engine transitivity: `emb_near_dup`
+    (the exact side of this anti-join) is itself hash-gated vs DuckDB's
+    recomputed cosines, so lsh ⊆ spark_exact ≡ duckdb_exact. Only recall
+    stays un-gated (pytest differential bound in tests/test_ops.py)."""
+    from matric_spark.operators.ann import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+        lsh_soundness_violations,
+    )
+
+    emb = _emb(spark, sf_dir)
+    lsh = _round6(
+        embedding_near_dup_lsh(emb, 64, 0.4, n_bands=16, band_bits=8),
+        ["cosine"],
+    )
+    exact = _round6(embedding_near_dup(emb, 0.4), ["cosine"])
+    return lsh_soundness_violations(lsh, exact)
+
+
+def q_ann_ivf_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundness gate for IVF top-k: emitted cosines must equal the exact
+    recomputed cosine (6dp), ≤ k rows per qid, and `rank` must match the
+    deterministic (cosine desc, vec_id asc) order within the emitted set.
+    Violations must be empty (same transitive argument as
+    `emb_lsh_soundness`, with `ann_topk` as the hash-gated exact side);
+    recall stays pytest-bounded."""
+    from matric_spark.operators.ann import ann_topk_ivf, ivf_soundness_violations
+
+    emb = _emb(spark, sf_dir)
+    out = _round6(
+        ann_topk_ivf(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=32, nprobe=8
+        ),
+        ["cosine"],
+    )
+    return ivf_soundness_violations(out, emb, k=5)
 
 
 # ---- matric-parity sim suite (embeddings population) ---------------------
@@ -611,8 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        "emb_lsh_soundness": q_emb_lsh_soundness,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_ivf_soundness": q_ann_ivf_soundness,
         "sim_cosine_strata": _q_sim_strata("cosine"),
         "sim_pearson_strata": _q_sim_strata("pearson"),
         "sim_euclidean_strata": _q_sim_strata("euclidean"),
@@ -697,18 +746,18 @@ def oracle_sql() -> dict[str, str]:
 SELECT part_month,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_nulls,
-       round(sum(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS text_null_rate,
-       round(avg(length(text)), 6) AS text_avg_len,
+       (round(sum(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) + 0) AS text_null_rate,
+       (round(avg(length(text)), 6) + 0) AS text_avg_len,
        CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tool_nulls,
-       round(sum(CASE WHEN tool IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS tool_null_rate,
-       round(avg(length(tool)), 6) AS tool_avg_len,
+       (round(sum(CASE WHEN tool IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) + 0) AS tool_null_rate,
+       (round(avg(length(tool)), 6) + 0) AS tool_avg_len,
        CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
-       round(sum(CASE WHEN ts IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS ts_null_rate,
+       (round(sum(CASE WHEN ts IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) + 0) AS ts_null_rate,
        min(ts) AS ts_min, max(ts) AS ts_max,
        CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS turn_idx_nulls,
-       round(sum(CASE WHEN turn_idx IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) AS turn_idx_null_rate,
+       (round(sum(CASE WHEN turn_idx IS NULL THEN 1.0 ELSE 0.0 END) / count(*), 6) + 0) AS turn_idx_null_rate,
        min(turn_idx) AS turn_idx_min, max(turn_idx) AS turn_idx_max,
-       round(avg(turn_idx), 6) AS turn_idx_mean,
+       (round(avg(turn_idx), 6) + 0) AS turn_idx_mean,
        CAST(count(DISTINCT conv_id) AS BIGINT) AS conv_id_distinct
 FROM transcripts GROUP BY part_month"""
 
@@ -744,11 +793,11 @@ WHERE ts < prev_max"""
 
     sql["drift_ks"] = f"""{_T},
 {_KS_CTES}
-SELECT p AS part_month, n_part, n_rest, round(ks_d, 6) AS ks_d,
-       round(least(1.0, greatest(0.0,
+SELECT p AS part_month, n_part, n_rest, (round(ks_d, 6) + 0) AS ks_d,
+       (round(least(1.0, greatest(0.0,
            2.0 * (exp(-2.0 * ne * ks_d * ks_d)
                   - exp(-8.0 * ne * ks_d * ks_d)
-                  + exp(-18.0 * ne * ks_d * ks_d)))), 6) AS ks_p
+                  + exp(-18.0 * ne * ks_d * ks_d)))), 6) + 0) AS ks_p
 FROM (SELECT *, CAST(n_part AS DOUBLE) * n_rest / (n_part + n_rest) AS ne FROM ks) y"""
 
     sql["drift_psi"] = f"""{_T},
@@ -756,7 +805,7 @@ cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
         FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2),
 parts AS (SELECT p, CAST(sum(c) AS BIGINT) np FROM cnt GROUP BY 1),
 {_PSI_FROM_CNT}
-SELECT p AS part_month, n_part, round(psi, 6) AS psi FROM psi"""
+SELECT p AS part_month, n_part, (round(psi, 6) + 0) AS psi FROM psi"""
 
     sql["verdicts"] = f"""{_T},
 scalar AS (
@@ -781,28 +830,28 @@ wide AS (
   LEFT JOIN ooo o ON o.part = s.part
   LEFT JOIN ks ON ks.p = s.part
   LEFT JOIN psi ON psi.p = s.part)
-SELECT part, 'ref_role' AS check_id, round(CAST(ref_role AS DOUBLE), 6) AS metric,
+SELECT part, 'ref_role' AS check_id, (round(CAST(ref_role AS DOUBLE), 6) + 0) AS metric,
        CASE WHEN ref_role > 0 THEN 'fail' ELSE 'pass' END AS status FROM wide
 UNION ALL
-SELECT part, 'ref_tool', round(CAST(ref_tool AS DOUBLE), 6),
+SELECT part, 'ref_tool', (round(CAST(ref_tool AS DOUBLE), 6) + 0),
        CASE WHEN ref_tool > 0 THEN 'fail' ELSE 'pass' END FROM wide
 UNION ALL
-SELECT part, 'null_text', round(CAST(null_text AS DOUBLE), 6),
+SELECT part, 'null_text', (round(CAST(null_text AS DOUBLE), 6) + 0),
        CASE WHEN null_text > 0 THEN 'fail' ELSE 'pass' END FROM wide
 UNION ALL
-SELECT part, 'null_ts', round(CAST(null_ts AS DOUBLE), 6),
+SELECT part, 'null_ts', (round(CAST(null_ts AS DOUBLE), 6) + 0),
        CASE WHEN null_ts > 0 THEN 'fail' ELSE 'pass' END FROM wide
 UNION ALL
-SELECT part, 'uniqueness', round(CAST(uniqueness AS DOUBLE), 6),
+SELECT part, 'uniqueness', (round(CAST(uniqueness AS DOUBLE), 6) + 0),
        CASE WHEN uniqueness > 0 THEN 'fail' ELSE 'pass' END FROM wide
 UNION ALL
-SELECT part, 'seq_order', round(CAST(seq_order AS DOUBLE), 6),
+SELECT part, 'seq_order', (round(CAST(seq_order AS DOUBLE), 6) + 0),
        CASE WHEN seq_order > 0 THEN 'fail' ELSE 'pass' END FROM wide
 UNION ALL
-SELECT part, 'drift_ks', round(ks_d, 6),
+SELECT part, 'drift_ks', (round(ks_d, 6) + 0),
        CASE WHEN ks_d > 0.15 THEN 'fail' ELSE 'pass' END FROM wide
 UNION ALL
-SELECT part, 'drift_psi', round(psi, 6),
+SELECT part, 'drift_psi', (round(psi, 6) + 0),
        CASE WHEN psi > 0.25 THEN 'fail' ELSE 'pass' END FROM wide"""
 
     # ---- training-data pipeline oracles (documents/embeddings views) ----
@@ -823,8 +872,19 @@ SELECT part, 'drift_psi', round(psi, 6),
 SELECT {dk.hexbig(norm)} AS content_fp, CAST(count(*) AS BIGINT) AS n_dups
 FROM transcripts WHERE text IS NOT NULL
 GROUP BY 1 HAVING count(*) > 1"""
-    # emb_near_dup_lsh: intentionally no oracle (LSH recall is
-    # probabilistic); covered by the rows-only check + pytest recall test.
+    # emb_near_dup_lsh / ann_topk_ivf: intentionally no EXACT oracle (LSH/
+    # IVF recall is probabilistic); each instead has a gated SOUNDNESS
+    # companion below (empty violation set ≡ empty oracle) + a pytest
+    # recall bound. check_oracle.py additionally runs a containment oracle
+    # for both rows-only entries (lsh rows ⊆ duckdb exact; ivf cosines ≡
+    # duckdb recomputed, ≤k per qid).
+    sql["emb_lsh_soundness"] = """
+SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+       CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"""
+    sql["ann_ivf_soundness"] = """
+SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS vec_id,
+       CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS VARCHAR) AS reason
+WHERE 1 = 0"""
 
     # ---- matric-parity sim suite ----
     sql["sim_cosine_strata"] = dk.sim_strata_sql("cosine")
@@ -841,10 +901,10 @@ GROUP BY 1 HAVING count(*) > 1"""
 
     sql["colstats_quantiles"] = f"""{_T}
 SELECT part_month,
-       round(quantile_cont(length(text), 0.25), 6) AS len_p25,
-       round(quantile_cont(length(text), 0.50), 6) AS len_p50,
-       round(quantile_cont(length(text), 0.75), 6) AS len_p75,
-       round(quantile_cont(length(text), 0.95), 6) AS len_p95
+       (round(quantile_cont(length(text), 0.25), 6) + 0) AS len_p25,
+       (round(quantile_cont(length(text), 0.50), 6) + 0) AS len_p50,
+       (round(quantile_cont(length(text), 0.75), 6) + 0) AS len_p75,
+       (round(quantile_cont(length(text), 0.95), 6) + 0) AS len_p95
 FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
 
     # the resumed incremental run must equal the one-shot batch suite
@@ -854,10 +914,10 @@ FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       round(avg(value), 6) AS avg_value,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value,
-       round(quantile_cont(value, 0.95), 6) AS p95_value
+       (round(avg(value), 6) + 0) AS avg_value,
+       (round(min(value), 6) + 0) AS min_value,
+       (round(max(value), 6) + 0) AS max_value,
+       (round(quantile_cont(value, 0.95), 6) + 0) AS p95_value
 FROM events GROUP BY event_type"""
 
     _sessionize_sql = """
@@ -871,7 +931,7 @@ s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 6) AS total_value
+       (round(sum(value), 6) + 0) AS total_value
 FROM s GROUP BY user_id, session_id"""
     sql["events_sessionize"] = _sessionize_sql
 
@@ -880,8 +940,8 @@ WITH l AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),
 r AS (SELECT user_id, ts, max(value) AS err_value FROM events
       WHERE event_type = 'error' GROUP BY 1, 2)
-SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS value,
-       r.ts AS ts_r, round(r.err_value, 6) AS err_value_r
+SELECT l.event_id, l.user_id, l.ts, (round(l.value, 6) + 0) AS value,
+       r.ts AS ts_r, (round(r.err_value, 6) + 0) AS err_value_r
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts"""
 
     sql["events_session_errors"] = f"""
@@ -889,7 +949,7 @@ WITH sess AS ({_sessionize_sql}),
 err AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
 SELECT s.user_id, s.session_id,
        CAST(count(*) AS BIGINT) AS n_errors,
-       round(sum(e.value), 6) AS err_value
+       (round(sum(e.value), 6) + 0) AS err_value
 FROM sess s JOIN err e
   ON e.user_id = s.user_id
  AND e.ts BETWEEN s.session_start AND s.session_end
@@ -900,8 +960,8 @@ WITH l AS (SELECT event_id, user_id, ts, value FROM events
            WHERE event_type = 'purchase'),
 r AS (SELECT user_id, ts, max(value) AS view_value FROM events
       WHERE event_type = 'view' GROUP BY 1, 2)
-SELECT l.event_id, l.user_id, l.ts, round(l.value, 6) AS value,
-       r.ts AS ts_r, round(r.view_value, 6) AS view_value_r
+SELECT l.event_id, l.user_id, l.ts, (round(l.value, 6) + 0) AS value,
+       r.ts AS ts_r, (round(r.view_value, 6) + 0) AS view_value_r
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
     sql["dedup_clusters"] = dk.dedup_clusters_sql(0.1)

@@ -62,12 +62,12 @@ WITH t AS (
          ELSE 0.0 END AS punct_ratio
   FROM t)
 SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
-       round(avg_token_len, 6) AS avg_token_len,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(least(1.0, n_tokens / 50.0)
+       (round(avg_token_len, 6) + 0) AS avg_token_len,
+       (round(stopword_ratio, 6) + 0) AS stopword_ratio,
+       (round(punct_ratio, 6) + 0) AS punct_ratio,
+       (round(least(1.0, n_tokens / 50.0)
              * (1.0 - abs(stopword_ratio - 0.2))
-             * (1.0 - least(0.5, punct_ratio)), 6) AS quality
+             * (1.0 - least(0.5, punct_ratio)), 6) + 0) AS quality
 FROM m"""
 
 
@@ -83,7 +83,7 @@ def doc_langid_sql() -> str:
     case = " ".join(
         f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
     )
-    rounded = ", ".join(f"round(score_{lang}, 6) AS score_{lang}" for lang in langs)
+    rounded = ", ".join(f"(round(score_{lang}, 6) + 0) AS score_{lang}" for lang in langs)
     return f"""
 WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
 s AS (SELECT doc_id, lang,
@@ -121,9 +121,9 @@ m AS (SELECT lang, source,
       FROM t)
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(quality), 6) AS avg_quality,
-       round(min(quality), 6) AS min_quality,
-       round(max(quality), 6) AS max_quality
+       (round(avg(quality), 6) + 0) AS avg_quality,
+       (round(min(quality), 6) + 0) AS min_quality,
+       (round(max(quality), 6) + 0) AS max_quality
 FROM m GROUP BY lang, source"""
 
 
@@ -170,7 +170,7 @@ cand AS (
   SELECT DISTINCT a.doc_id id1, b.doc_id id2
   FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id),
 {_JACCARD_VERIFY}
-SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
+SELECT id1, id2, (round(jaccard, 6) + 0) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
     # stop-shingle cut variant mirroring ngram_jaccard_pairs' default:
     # shared counts from the CUT sets (hot shingles leave the
     # intersection), set sizes from the FULL sets
@@ -188,7 +188,7 @@ sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sets GROUP BY 1),
 jac AS (
   SELECT s.id1, s.id2, s.shared / CAST(x.n + y.n - s.shared AS DOUBLE) AS jaccard
   FROM shared s JOIN sizes x ON x.doc_id = s.id1 JOIN sizes y ON y.doc_id = s.id2)
-SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
+SELECT id1, id2, (round(jaccard, 6) + 0) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
 
 
 def minhash_lsh_sql(
@@ -229,7 +229,7 @@ cand AS (
     ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
    AND x.doc_id < y.doc_id),
 {_JACCARD_VERIFY}
-SELECT id1, id2, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
+SELECT id1, id2, (round(jaccard, 6) + 0) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
 
 
 def simhash_pairs_sql(max_hamming: int = 12, chunks: int = 4) -> str:
@@ -287,7 +287,7 @@ def embedding_near_dup_sql(threshold: float = 0.4) -> str:
     return f"""
 WITH {_NORM_E}
 SELECT a.vec_id AS id1, b.vec_id AS id2,
-       round(list_dot_product(a.v, b.v), 6) AS cosine
+       (round(list_dot_product(a.v, b.v), 6) + 0) AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) >= {threshold}"""
 
@@ -336,7 +336,7 @@ sims AS (SELECT c.id1, c.id2, c.type, {_SIM_COS} AS sim
 def sim_strata_sql(kernel: str = "cosine") -> str:
     """Within-label pairwise similarity (sim_calculate strata path)."""
     if kernel == "cosine":
-        body = f"SELECT a.id AS id1, b.id AS id2, round({_SIM_COS}, 6) AS sim"
+        body = f"SELECT a.id AS id1, b.id AS id2, (round({_SIM_COS}, 6) + 0) AS sim"
         src = "pop a JOIN pop b ON a.label = b.label AND a.id <> b.id"
         return f"WITH {_POP}\n{body} FROM {src}"
     if kernel == "pearson":
@@ -350,12 +350,12 @@ npop AS (SELECT id, label,
                   x -> x / sqrt(list_dot_product(cv, cv))) AS cnv
          FROM cpop)
 SELECT a.id AS id1, b.id AS id2,
-       round(list_dot_product(a.cnv, b.cnv), 6) AS sim
+       (round(list_dot_product(a.cnv, b.cnv), 6) + 0) AS sim
 FROM npop a JOIN npop b ON a.label = b.label AND a.id <> b.id"""
     if kernel == "euclidean":
         return f"""
 WITH {_POP}
-SELECT a.id AS id1, b.id AS id2, round(list_distance(a.v, b.v), 6) AS sim
+SELECT a.id AS id1, b.id AS id2, (round(list_distance(a.v, b.v), 6) + 0) AS sim
 FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id"""
     if kernel == "spearman":
         # average-tie rank per row element (exact rationals — window
@@ -380,7 +380,7 @@ npop AS (SELECT id, label,
                   x -> x / sqrt(list_dot_product(cv, cv))) AS cnv
          FROM cpop)
 SELECT a.id AS id1, b.id AS id2,
-       round(list_dot_product(a.cnv, b.cnv), 6) AS sim
+       (round(list_dot_product(a.cnv, b.cnv), 6) + 0) AS sim
 FROM npop a JOIN npop b ON a.label = b.label AND a.id <> b.id"""
     if kernel == "kendall":
         # tau-b term-for-term with sparse.kendall_rows: over index pairs
@@ -402,8 +402,8 @@ terms AS (SELECT id1, id2,
                  CASE WHEN vb[i] <> vb[j] THEN 1 ELSE 0 END AS cy
           FROM prs CROSS JOIN ip)
 SELECT id1, id2,
-       round(sum(t) / sqrt(CAST(sum(cx) AS DOUBLE) * CAST(sum(cy) AS DOUBLE)),
-             6) AS sim
+       (round(sum(t) / sqrt(CAST(sum(cx) AS DOUBLE) * CAST(sum(cy) AS DOUBLE)),
+             6) + 0) AS sim
 FROM terms GROUP BY id1, id2"""
     raise ValueError(kernel)
 
@@ -424,7 +424,7 @@ def sim_collate_sql(non_rep_alldiff_gene: bool = False) -> str:
 WITH {_POP},
 {collate},
 {_SIMS}
-SELECT id1, id2, type, round(sim, 6) AS sim FROM sims"""
+SELECT id1, id2, type, (round(sim, 6) + 0) AS sim FROM sims"""
 
 
 #: rep_group arm appended to the collate union for the level_2_1 oracle
@@ -556,7 +556,7 @@ def _metrics_prefix(
 
 def sim_metrics_level10_sql() -> str:
     rounded = ", ".join(
-        f"round({c}, 6) AS {c}" if c in _DOUBLE_METRIC_COLS else c
+        f"(round({c}, 6) + 0) AS {c}" if c in _DOUBLE_METRIC_COLS else c
         for c in LEVEL10_METRIC_COLS
     )
     return f"{_metrics_prefix()}\nSELECT id1, label1, {rounded} FROM level10"
@@ -567,7 +567,7 @@ def sim_metrics_level21_sql() -> str:
     non_rep background, grouped by gene, identifier 'g'."""
     cols = metric_cols(ident="g")
     rounded = ", ".join(
-        f"round({c}, 6) AS {c}" if not c.startswith("sim_stat_") else c
+        f"(round({c}, 6) + 0) AS {c}" if not c.startswith("sim_stat_") else c
         for c in cols
     )
     prefix = _metrics_prefix(
@@ -578,8 +578,8 @@ def sim_metrics_level21_sql() -> str:
 
 def sim_metrics_level1_sql() -> str:
     aggs = ", ".join(
-        f"round(avg({c}), 6) AS {c}_mean_i, "
-        f"round(quantile_cont({c}, 0.5), 6) AS {c}_median_i"
+        f"(round(avg({c}), 6) + 0) AS {c}_mean_i, "
+        f"(round(quantile_cont({c}, 0.5), 6) + 0) AS {c}_median_i"
         for c in LEVEL10_METRIC_COLS
     )
     return f"{_metrics_prefix()}\nSELECT label1, {aggs} FROM level10 GROUP BY label1"
@@ -592,9 +592,9 @@ t AS (SELECT id1, label1,
 r AS (SELECT *, max(rn) OVER (PARTITION BY p_value) AS rnk,
              count(*) OVER () AS n
       FROM (SELECT *, row_number() OVER (ORDER BY p_value) AS rn FROM t) x)
-SELECT id1, label1, round(p_value, 6) AS p_value,
-       round(least(1.0, min(p_value * n / rnk) OVER (ORDER BY p_value DESC
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS q_value
+SELECT id1, label1, (round(p_value, 6) + 0) AS p_value,
+       (round(least(1.0, min(p_value * n / rnk) OVER (ORDER BY p_value DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) + 0) AS q_value
 FROM r"""
 
 
@@ -607,7 +607,7 @@ s AS (SELECT q.qid, e.vec_id, list_dot_product(q.qv, e.v) AS cosine
 r AS (SELECT qid, vec_id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
       FROM s)
-SELECT qid, vec_id, round(cosine, 6) AS cosine, CAST(rank AS INT) AS rank
+SELECT qid, vec_id, (round(cosine, 6) + 0) AS cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {k}"""
 
 

@@ -342,3 +342,72 @@ def embedding_near_dup_lsh(
         .select("id1", "id2", dot("v1", "v2").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ------------------------------------------------------- soundness gates
+#
+# LSH/IVF *recall* is probabilistic and cannot have an exact oracle; their
+# *soundness* (precision side) can, and gets one. Each function below
+# materializes the violation rows of a containment invariant — the result
+# must be EMPTY, which an equality-hash gate can check against an
+# empty-set oracle. Cross-engine value verification is transitive: the
+# exact operators these compare against (`embedding_near_dup`,
+# `ann_topk_bruteforce`) are themselves hash-gated against DuckDB's
+# recomputed cosines, so `lsh ⊆ spark_exact ≡ duckdb_exact`.
+
+
+def lsh_soundness_violations(
+    lsh_pairs: DataFrame, exact_pairs: DataFrame
+) -> DataFrame:
+    """Rows of the LSH near-dup output that are NOT in the exact all-pairs
+    result with an identical (6dp-rounded) cosine. Sound LSH ⇒ empty:
+    blocking can only drop pairs, never invent one or change a cosine,
+    because verification re-joins the true vectors and computes the exact
+    dot (embedding_near_dup_lsh's verify step). Expects both inputs
+    already rounded to the comparison precision."""
+    return lsh_pairs.join(exact_pairs, ["id1", "id2", "cosine"], "left_anti")
+
+
+def ivf_soundness_violations(
+    ivf_out: DataFrame,
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Violation rows of the three IVF output invariants that hold no
+    matter which cells were probed:
+
+    - `bad_cosine`: the emitted cosine must equal the exact cosine of
+      (qid, vec_id) recomputed from the vectors (6dp);
+    - `over_k`: at most k rows per qid;
+    - `bad_rank`: `rank` must be the row_number under the deterministic
+      ordering (cosine desc, vec_id asc) *within the emitted set*.
+
+    Returns DataFrame[qid, vec_id, cosine, reason]; empty ⇔ sound.
+    """
+    from pyspark.sql.window import Window
+
+    e = _normalized(emb, id_col, vec_col, "vec_id", "v")
+    q = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    checked = (
+        ivf_out.join(e, "vec_id")
+        .join(q, "qid")
+        .withColumn(
+            "_exact", F.round(dot("qv", "v"), 6) + F.lit(0.0)
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    checked = (
+        checked.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("qid")))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    return checked.select(
+        "qid",
+        "vec_id",
+        "cosine",
+        F.when(F.col("cosine") != F.col("_exact"), F.lit("bad_cosine"))
+        .when(F.col("_n") > k, F.lit("over_k"))
+        .when(F.col("rank") != F.col("_rn"), F.lit("bad_rank"))
+        .alias("reason"),
+    ).filter(F.col("reason").isNotNull())

@@ -7,9 +7,11 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import hashlib
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -22,10 +24,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.astype(str).where(~s.isna(), "<NULL>")
         elif str(s.dtype).startswith("float"):
-            df[c] = s.round(6)
+            # NO re-round here: the queries/oracles own the 6dp-rounding
+            # (and signed-zero normalization) contract; re-rounding would
+            # mask contract violations the driver's hash catches.
+            df[c] = s.astype("float64")
         elif str(s.dtype) in ("int32", "int64", "uint32", "uint64", "Int32", "Int64"):
             df[c] = s.astype("int64")
+        elif str(s.dtype) == "bool":
+            df[c] = s
+        elif str(s.dtype) == "boolean":
+            df[c] = s.astype("object").astype(str)
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    """Byte-strict value hash of a canonicalized frame (the driver's gate
+    hashes values after sorting columns by name — this must be at least as
+    strict: -0.0 vs +0.0, NaN-payloads, and any representation-level
+    divergence all change the digest)."""
+    h = hashlib.sha256()
+    for c in df.columns:
+        s = df[c]
+        h.update(c.encode())
+        if str(s.dtype).startswith("float"):
+            v = s.to_numpy(dtype="float64")
+            # canonicalize NaN payload only (NaN==NaN for the gate), keep
+            # signed zero distinct
+            v = np.where(np.isnan(v), np.float64("nan"), v)
+            h.update(v.tobytes())
+        elif str(s.dtype) in ("int64", "bool"):
+            h.update(s.to_numpy().tobytes())
+        else:
+            h.update("\x1f".join(s.astype(str).tolist()).encode())
+    return h.hexdigest()
 
 
 def compare(name: str, sp: pd.DataFrame, dk: pd.DataFrame) -> bool:
@@ -48,11 +79,30 @@ def compare(name: str, sp: pd.DataFrame, dk: pd.DataFrame) -> bool:
                     print(f"  [{name}] dtype mismatch col {c}: {a[c].dtype} vs {b[c].dtype}")
                     ok = False
                     continue
-            eq = (a[c] == b[c]) | (a[c].isna() & b[c].isna())
-            if not eq.all():
-                i = (~eq).idxmax()
-                print(f"  [{name}] VALUE mismatch col {c}: {(~eq).sum()} rows, e.g. {a[c][i]!r} vs {b[c][i]!r}")
-                ok = False
+        if ok and frame_hash(a) != frame_hash(b):
+            ok = False
+            # byte-level diagnosis: find the first column whose bytes differ
+            diagnosed = False
+            for c in a.columns:
+                if str(a[c].dtype).startswith("float"):
+                    va = a[c].to_numpy(dtype="float64")
+                    vb = b[c].to_numpy(dtype="float64")
+                    neq = np.frombuffer(va.tobytes(), dtype="uint64") != np.frombuffer(
+                        vb.tobytes(), dtype="uint64"
+                    )
+                    both_nan = np.isnan(va) & np.isnan(vb)
+                    neq = neq & ~both_nan
+                else:
+                    neq = (a[c].astype(str) != b[c].astype(str)).to_numpy()
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    print(
+                        f"  [{name}] HASH mismatch col {c}: {int(neq.sum())} rows "
+                        f"bitwise-unequal, e.g. row {i}: {a[c].iloc[i]!r} vs {b[c].iloc[i]!r}"
+                    )
+                    diagnosed = True
+            if not diagnosed:
+                print(f"  [{name}] HASH mismatch (row-order/encoding level)")
     return ok
 
 
@@ -99,6 +149,66 @@ FROM transcripts GROUP BY 1"""
     return ok
 
 
+def check_lsh_containment(sp: pd.DataFrame, con) -> bool:
+    """Containment (soundness) oracle for the rows-only LSH entry: every
+    emitted pair must appear in DuckDB's exact near-dup result with a
+    byte-identical 6dp cosine. Recall is probabilistic and stays
+    un-gated (pytest bound); precision is not — this closes it."""
+    from matric_spark import duck_oracle as dk
+
+    exact = con.execute(dk.embedding_near_dup_sql(0.4)).fetch_df()
+    merged = sp.merge(exact, on=["id1", "id2"], how="left", suffixes=("", "_ex"))
+    missing = merged["cosine_ex"].isna()
+    import numpy as np
+
+    sp_bits = merged["cosine"].to_numpy("float64").view("uint64")
+    ex_bits = merged["cosine_ex"].fillna(0.0).to_numpy("float64").view("uint64")
+    bad = missing | ((sp_bits != ex_bits) & ~missing)
+    if bad.any():
+        print(
+            f"  [emb_near_dup_lsh] CONTAINMENT violated: {int(bad.sum())}/{len(sp)} "
+            f"rows not in exact set with identical cosine, e.g. "
+            f"{merged[bad].head(3).to_dict('records')}"
+        )
+        return False
+    return True
+
+
+def check_ivf_containment(sp: pd.DataFrame, con, k: int = 5) -> bool:
+    """Containment oracle for the rows-only IVF entry: emitted cosines
+    must equal DuckDB's recomputed exact cosines byte-for-byte (6dp),
+    with at most k rows per qid and rank = (cosine desc, vec_id asc)
+    order within the emitted set."""
+    from matric_spark.duck_oracle import _NORM_E
+
+    scored = con.execute(
+        f"""WITH {_NORM_E},
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10)
+SELECT q.qid, e.vec_id, (round(list_dot_product(q.qv, e.v), 6) + 0) AS cosine
+FROM q CROSS JOIN e WHERE q.qid <> e.vec_id"""
+    ).fetch_df()
+    merged = sp.merge(scored, on=["qid", "vec_id"], how="left", suffixes=("", "_ex"))
+    import numpy as np
+
+    ok = True
+    sp_bits = merged["cosine"].to_numpy("float64").view("uint64")
+    ex_bits = merged["cosine_ex"].fillna(np.nan).to_numpy("float64").view("uint64")
+    if (sp_bits != ex_bits).any():
+        n = int((sp_bits != ex_bits).sum())
+        print(f"  [ann_topk_ivf] {n} cosines differ from DuckDB exact recompute")
+        ok = False
+    sizes = sp.groupby("qid").size()
+    if (sizes > k).any():
+        print(f"  [ann_topk_ivf] >k rows for qids {sizes[sizes > k].index.tolist()}")
+        ok = False
+    ranked = sp.sort_values(["qid", "cosine", "vec_id"], ascending=[True, False, True])
+    expect = ranked.groupby("qid").cumcount() + 1
+    if (ranked["rank"].to_numpy() != expect.to_numpy()).any():
+        print("  [ann_topk_ivf] rank column inconsistent with (cosine desc, vec_id) order")
+        ok = False
+    return ok
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -124,10 +234,16 @@ def main() -> int:
         sp = fn(spark, sf_dir).toPandas()
         spark.catalog.clearCache()  # release per-query persist()s
         t1 = time.time()
-        if name == "sketch_stats":
-            good = check_sketch_bounds(sp, con)
+        special = {
+            "sketch_stats": ("bounds oracle", check_sketch_bounds),
+            "emb_near_dup_lsh": ("containment oracle", check_lsh_containment),
+            "ann_topk_ivf": ("containment oracle", check_ivf_containment),
+        }
+        if name in special:
+            kind, fn_check = special[name]
+            good = fn_check(sp, con)
             print(
-                f"{'PASS' if good else 'FAIL'} {name} (bounds oracle): "
+                f"{'PASS' if good else 'FAIL'} {name} ({kind}): "
                 f"{len(sp)} rows, {t1-t0:.1f}s"
             )
             if not good:
