@@ -308,14 +308,36 @@ def _collated_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEVEL10_CACHE: dict[str, str] = {}
+
+
 def _level10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-1_0 metrics, materialized ONCE per (process, sf_dir) to a
+    temp parquet and re-read by every consumer (sim_metrics_level10,
+    sim_metrics_level1, sim_bh, sim_signif). Each queries() entry stays
+    self-contained for the driver — first caller computes, later callers
+    read — and per CLAUDE.md the reuse is parquet materialization, not
+    .cache(): the output is tiny (one row per (id1, label1)) while the
+    collate→attach_sim→annotate→metrics pipeline it summarizes is the
+    expensive part."""
+    path = _LEVEL10_CACHE.get(sf_dir)
+    if path is not None:
+        return spark.read.parquet(path)
+
     from matric_spark.operators.metrics import sim_annotate, sim_metrics
 
     sims = _collated_sims(spark, sf_dir)
     # both-side annotate (the reference default); sim_metrics projects
     # to its summary cols, so label2 rides along only until then
     ann = sim_annotate(sims, _population(spark, sf_dir), ["label"], side="both")
-    return sim_metrics(ann, ["id1", "label1"])
+    out = sim_metrics(ann, ["id1", "label1"])
+
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="graft_l10_") + "/level10.parquet"
+    out.write.parquet(path)
+    _LEVEL10_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 def _q_sim_strata(kernel: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -763,7 +785,8 @@ FROM transcripts GROUP BY part_month"""
 
     sql["uniqueness_keys"] = f"""{_T}
 SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_dup
-FROM transcripts GROUP BY 1, 2 HAVING count(*) > 1"""
+FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > 1"""
 
     sql["ref_role_violations"] = f"""{_T}
 SELECT conv_id, turn_idx, role, part_month
@@ -815,7 +838,7 @@ scalar AS (
          CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_text,
          CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) null_ts
   FROM transcripts GROUP BY 1),
-dupk AS (SELECT conv_id, turn_idx FROM transcripts GROUP BY 1, 2 HAVING count(*) > 1),
+dupk AS (SELECT conv_id, turn_idx FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL GROUP BY 1, 2 HAVING count(*) > 1),
 uniq AS (SELECT t.part_month AS part, CAST(count(*) AS BIGINT) uniqueness
          FROM transcripts t JOIN dupk USING (conv_id, turn_idx) GROUP BY 1),
 ooo AS ({_OOO_SQL}),

@@ -13,12 +13,31 @@ pathologically hot key across ``n_salt`` reducers — needed when one key
 occurs so often that even partial counts flood one reducer's hash table
 (e.g. a crawler bug repeating one (conv_id, turn_idx) billions of times).
 ``strategy='direct'`` and ``'salted'`` are differential-tested equal.
+
+NULL-key semantics (uniform across every function here, pinned by
+tests/test_checks.py::test_uniqueness_null_keys_excluded): rows with a
+NULL in ANY key column are EXCLUDED from uniqueness accounting. Rationale:
+SQL equality never matches NULLs (the verdict oracle's ``JOIN dupk
+USING(...)`` and Spark's equi-joins agree on this), so "two rows with the
+same NULL key" is not a well-defined duplicate — and nullness of a key
+column is its own check (column_stats null-rate / a not-null constraint),
+not a uniqueness violation. Window.partitionBy DOES group NULL tuples
+together, which is why the window paths must pre-filter to keep the
+window and join formulations differential-equal on null-key data.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _non_null_keys(df: DataFrame, key: list[str]) -> DataFrame:
+    cond = None
+    for k in key:
+        c = F.col(k).isNotNull()
+        cond = c if cond is None else cond & c
+    return df.filter(cond)
 
 
 def duplicate_keys(
@@ -38,6 +57,7 @@ def duplicate_keys(
     with an exact groupBy on the real key — only the candidate fraction
     is reshuffled, and 64-bit false positives are filtered exactly.
     """
+    df = _non_null_keys(df, key)
     if strategy == "hash":
         h = F.xxhash64(*key)
         cand = (
@@ -88,7 +108,8 @@ def duplicate_row_counts(
     w1 = Window.partitionBy("_h")
     w2 = Window.partitionBy(*key)
     cand = (
-        df.select(*key, part_col)
+        _non_null_keys(df, key)
+        .select(*key, part_col)
         .withColumn("_h", h)
         .withColumn("_n", F.count(F.lit(1)).over(w1))
         .filter(F.col("_n") > 1)

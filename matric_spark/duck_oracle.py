@@ -643,8 +643,12 @@ FROM cc JOIN sz USING (cluster_id)"""
 
 def hash_uniform_sql(id_exprs: list[str], salt: str) -> str:
     """Mirrors operators/sampling.hash_uniform bit-for-bit: salted
-    \\x1f-joined key -> 60-bit md5 -> /2^60 (exact double literal)."""
-    keys = ", ".join(f"CAST({e} AS VARCHAR)" for e in id_exprs)
+    \\x1f-joined key (NULL components coalesced to the \\x1enull
+    sentinel, since concat_ws skips NULLs on both engines) -> 60-bit
+    md5 -> /2^60 (exact double literal)."""
+    keys = ", ".join(
+        f"coalesce(CAST({e} AS VARCHAR), chr(30) || 'null')" for e in id_exprs
+    )
     key = f"concat_ws(chr(31), '{salt}', {keys})"
     return f"({hexbig(key)} / 1152921504606846976.0)"
 

@@ -257,6 +257,7 @@ def ann_topk_ivf(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF top-k: the scale path for `ann_topk_bruteforce`.
 
@@ -264,13 +265,18 @@ def ann_topk_ivf(
     centroid (one argmax matmul pass). Search: each query probes its
     `nprobe` nearest cells, so it scans ~nprobe/n_centroids of the
     corpus instead of all of it — the brute-force crossJoin's O(N·Q)
-    becomes O(N·Q·nprobe/k_cells), and the join is keyed on `cell`
-    (hash shuffle; skewed cells fall to AQE skew-join, session.py).
+    becomes O(N·Q·nprobe/k_cells). The cell join's physical strategy is
+    `broadcast_queries`: True (default) replicates the exploded query
+    side (|Q|·nprobe rows — right for the common small-query-batch case,
+    and the corpus side never shuffles at all); False leaves a plain
+    equi-join on `cell` for LARGE query sets, where Catalyst/AQE pick
+    shuffle-hash and skewed cells fall to AQE skew-join (session.py).
     Same output contract as brute force: (qid, vec_id, cosine, rank),
     deterministic tie-break (cosine desc, vec_id asc). Recall is
     probabilistic (differential-tested on planted clusters); precision
-    within scanned cells is exact, so this is excluded from the exact
-    oracle gate (rows-only in the driver check).
+    within scanned cells is exact and soundness-gated
+    (`ivf_soundness_violations` below; `ann_ivf_soundness` in the
+    driver gate).
     """
     from pyspark.sql.window import Window
 
@@ -292,7 +298,7 @@ def ann_topk_ivf(
         "qid", "qv", F.explode(probe(F.col("qv"))).alias("cell")
     )
     scored = (
-        e.join(F.broadcast(q), "cell")
+        e.join(F.broadcast(q) if broadcast_queries else q, "cell")
         .filter(F.col("qid") != F.col("vec_id"))
         .select("qid", "vec_id", dot("qv", "v").alias("cosine"))
     )

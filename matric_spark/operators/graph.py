@@ -14,10 +14,11 @@ Scale design (the part that matters at 100 TB):
   Spark jobs on a pathological chain of near-dups.
 - every shuffle carries ids only (two longs per row); texts/vectors
   never enter the loop.
-- convergence is detected by sum(l) reaching a fixpoint — labels only
-  ever decrease, so the sum is a strictly-decreasing monotone until
-  converged; ONE cheap aggregate action per round, no row-wise
-  old-vs-new join.
+- convergence is detected by an exact changed-label count carried
+  THROUGH the round (each row knows its previous label, so the round's
+  own aggregate counts `l != old_l` — no extra old-vs-new join, no
+  numeric-cast trick, and it works for any id type including string
+  content hashes).
 - lineage is cut each round (localCheckpoint) so the plan does not grow
   by two joins per iteration — without this, round k replays rounds
   1..k-1 and the driver eventually dies on plan size.
@@ -46,10 +47,12 @@ def connected_components(
     """Resolve an undirected pair list into components.
 
     Returns DataFrame[v, cluster_id] covering every node that appears in
-    `pairs`; cluster_id is the MINIMUM node id of the component (stable,
-    order-free). Nodes absent from `pairs` are singletons by definition
-    and are not emitted — callers wanting them can left-join this result
-    onto the full id set and coalesce(cluster_id, id).
+    `pairs` — including nodes whose only pairs are self-loops, which come
+    out as singleton clusters; cluster_id is the MINIMUM node id of the
+    component (stable, order-free; lexicographic minimum for string ids).
+    Nodes absent from `pairs` are singletons by definition and are not
+    emitted — callers wanting them can left-join this result onto the
+    full id set and coalesce(cluster_id, id).
 
     strategy='auto' (default) is a cost-based switch in the spirit of
     matric's filter-strategy switch (R/sim_filter.R:179-206): a pair
@@ -79,16 +82,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("a").alias("v")).distinct().withColumn(
-        "l", F.col("v")
+    # seed labels from EVERY node in the raw edge list (both endpoints,
+    # self-loops included) so self-loop-only nodes surface as singletons
+    labels = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .distinct()
+        .withColumn("l", F.col("v"))
+        .localCheckpoint(eager=True)
     )
-    def _label_sum(lbl: DataFrame):
-        # decimal(38,0): sum of ~1e9 60-bit content-hash ids overflows
-        # int64; labels only ever decrease, so sum-unchanged <=> converged
-        return lbl.agg(F.sum(F.col("l").cast("decimal(38,0)"))).collect()[0][0]
-
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = _label_sum(labels)
 
     for _ in range(max_rounds):
         nbr_min = (
@@ -101,19 +103,25 @@ def connected_components(
             .withColumnRenamed("a", "v")
         )
         stepped = labels.join(nbr_min, "v", "left").select(
-            "v", F.least("l", F.coalesce("nbr_l", "l")).alias("l")
+            "v",
+            F.col("l").alias("old_l"),
+            F.least("l", F.coalesce("nbr_l", "l")).alias("l"),
         )
         # pointer jump: follow the label one hop (l <- min(l, l(l)))
         jumped = stepped.join(
             labels.select(F.col("v").alias("l"), F.col("l").alias("ll")),
             "l",
             "left",
-        ).select("v", F.least("l", F.coalesce("ll", "l")).alias("l"))
+        ).select("v", "old_l", F.least("l", F.coalesce("ll", "l")).alias("l"))
         labels = jumped.localCheckpoint(eager=True)
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        # exact, type-generic fixpoint test: the round carried each row's
+        # previous label, so ONE aggregate action counts changes — no
+        # numeric cast (a decimal cast of string ids silently NULLed the
+        # old sum-based detector and broke the loop after round 1)
+        n_changed = labels.filter(F.col("l") != F.col("old_l")).count()
+        labels = labels.drop("old_l")
+        if n_changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_rounds} rounds"
@@ -136,8 +144,8 @@ def _local_components(spark, edges, id_type: str) -> DataFrame:
 
     for row in edges:
         a, b = row[0], row[1]
-        if a == b:
-            continue
+        # find() registers both endpoints, so self-loop-only nodes come
+        # out as singletons (same contract as the distributed path)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)

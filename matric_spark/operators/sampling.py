@@ -36,10 +36,20 @@ def hash_uniform(id_cols: list[str], salt: str = "") -> Column:
     """Deterministic uniform [0,1) draw from the row's key columns.
 
     Key columns are cast to string and joined with an \\x1f separator
-    (never appears in normal keys) so ("ab","c") != ("a","bc").
+    (never appears in normal keys) so ("ab","c") != ("a","bc"). NULL key
+    components are coalesced to the sentinel "\\x1enull" BEFORE the join:
+    concat_ws silently skips NULL arguments, so without the sentinel
+    ('a', NULL, 'b'), ('a', 'b', NULL) and ('a', 'b') would all hash to
+    the same draw, correlating splits/samples across distinct keys. The
+    DuckDB twin (duck_oracle.hash_uniform_sql) mirrors the coalesce.
     """
     key = F.concat_ws(
-        "\x1f", F.lit(salt), *[F.col(c).cast("string") for c in id_cols]
+        "\x1f",
+        F.lit(salt),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x1enull"))
+            for c in id_cols
+        ],
     )
     return md5_long(key) / F.lit(_HASH_SPACE)
 

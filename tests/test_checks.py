@@ -43,6 +43,35 @@ def test_uniqueness_strategies_agree(tiny_transcripts):
     assert len(rows) == 2 and all(r["conv_id"] == "B" and r["turn_idx"] == 1 for r in rows)
 
 
+def test_uniqueness_null_keys_excluded(spark):
+    """NULL-containing key tuples are excluded from uniqueness accounting
+    in EVERY formulation (module-docstring contract): Window.partitionBy
+    groups NULLs together, so without the pre-filter the window-based
+    verdict path would report NULL-key 'duplicates' the join-based path
+    (and the DuckDB oracle's JOIN USING) can never match."""
+    from matric_spark.checks.uniqueness import duplicate_row_counts
+
+    rows = [
+        ("A", 0, 1, "x"), ("A", 0, 1, "y"),        # real dup
+        (None, 1, 1, "n1"), (None, 1, 1, "n2"),    # null conv_id ×2
+        ("B", None, 1, "n3"), ("B", None, 1, "n4"),  # null turn_idx ×2
+        ("C", 2, 1, "ok"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, part_month int, text string"
+    )
+    key = ["conv_id", "turn_idx"]
+    for strat in ("direct", "salted", "hash"):
+        got = sorted(map(tuple, duplicate_keys(df, key, strat).collect()))
+        assert got == [("A", 0, 2)], strat
+    viol = uniqueness_violations(df, key).collect()
+    assert sorted(r["text"] for r in viol) == ["x", "y"]
+    # window-based verdict path agrees with the join-based path
+    counts = {r["part"]: r["n"] for r in
+              duplicate_row_counts(df, key, "part_month").collect()}
+    assert counts == {1: 2}
+
+
 def test_referential(tiny_transcripts):
     bad_role = domain_violations(tiny_transcripts, "role", DEFAULT_ROLE_DOMAIN, nulls_ok=False).collect()
     assert [(r["conv_id"], r["turn_idx"]) for r in bad_role] == [("C", 0)]

@@ -73,6 +73,36 @@ def test_connected_components_auto_switches_to_distributed(spark):
     assert got == _brute_components(edges)
 
 
+@pytest.mark.parametrize("strategy", ["distributed", "local"])
+def test_connected_components_string_ids_deep_chain(spark, strategy):
+    """String node ids with diameter >> 3: the old sum-based convergence
+    detector cast labels to decimal, got NULL on strings, and silently
+    stopped after one round — the changed-count detector must converge
+    the full chain. cluster_id = lexicographic min."""
+    edges = [(f"doc{i:04d}", f"doc{i+1:04d}") for i in range(40)] + [
+        ("zzz1", "zzz2")
+    ]
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(df, strategy=strategy).collect()
+    }
+    for i in range(41):
+        assert got[f"doc{i:04d}"] == "doc0000"
+    assert got["zzz1"] == got["zzz2"] == "zzz1"
+
+
+@pytest.mark.parametrize("strategy", ["distributed", "local"])
+def test_connected_components_self_loop_only_node_is_singleton(spark, strategy):
+    edges = [(1, 2), (9, 9)]
+    df = spark.createDataFrame(edges, ["id1", "id2"])
+    got = {
+        r["v"]: r["cluster_id"]
+        for r in connected_components(df, strategy=strategy).collect()
+    }
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
 def test_dedup_clusters_sizes(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], ["id1", "id2"]
@@ -145,6 +175,36 @@ def test_hash_uniform_key_separator(spark):
           df.select(hash_uniform(["k1", "k2"]).alias("u")).collect()]
     assert us[0] != us[1]
     assert all(0.0 <= u < 1.0 for u in us)
+
+
+def test_hash_uniform_null_key_positions_draw_independently(spark):
+    """concat_ws skips NULLs, so without the \\x1enull sentinel the keys
+    ('a', NULL, 'b'), ('a', 'b', NULL) and ('a', 'b', '') would collide
+    into identical draws — and the DuckDB twin must reproduce the
+    sentinel'd draws bit-for-bit including on NULL keys."""
+    import duckdb
+
+    from matric_spark.duck_oracle import hash_uniform_sql
+
+    rows = [("a", None, "b"), ("a", "b", None), ("a", "b", ""), (None, None, None)]
+    df = spark.createDataFrame(rows, ["k1", "k2", "k3"])
+    got = [
+        r["u"]
+        for r in df.select(
+            hash_uniform(["k1", "k2", "k3"], salt="s").alias("u")
+        ).collect()
+    ]
+    assert len(set(got)) == len(got)  # all distinct
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k1 VARCHAR, k2 VARCHAR, k3 VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {hash_uniform_sql(['k1', 'k2', 'k3'], 's')} FROM t"
+        ).fetchall()
+    ]
+    assert got == want
 
 
 # -------------------------------------------------------------- as-of
