@@ -39,6 +39,7 @@ def sim_collate(
     all_different_cols_non_rep: list[str] | None = None,
     all_same_cols_group: list[str] | None = None,
     any_different_cols_group: list[str] | None = None,
+    all_same_cols_rep_ref: list[str] | None = None,
     drop_group_spec: DataFrame | None = None,
     id_col: str = "id",
 ) -> DataFrame:
@@ -73,9 +74,12 @@ def sim_collate(
     ).withColumn("type", F.lit("rep"))
 
     # rep_ref: replicate pairs among reference rows, tagged 'rep'
-    # (R/sim_collate.R:366-396); deduped out of ref below
+    # (R/sim_collate.R:366-396); deduped out of ref below. Its key may
+    # legitimately be FINER than the rep key (the reference's
+    # cellhealthmetrics pipeline adds Metadata_Plate,
+    # data-raw/cellhealthmetrics.R:47-52); defaults to the rep key.
     rep_ref_pairs = within_group_pairs(
-        refs, all_same_cols_rep, id_col=id_col
+        refs, all_same_cols_rep_ref or all_same_cols_rep, id_col=id_col
     ).withColumn("type", F.lit("rep"))
 
     # dedup overlap: ref pairs that are also rep_ref pairs are dropped

@@ -57,7 +57,13 @@ def pearson_rows(x1, x2):
     )
 
 
-def kendall_rows(x1, x2, _chunk: int = 256):
+#: per-buffer memory budget for kendall's sign matrices (bytes). Two
+#: int8 buffers of chunk × d(d-1)/2 live at once, so peak extra memory
+#: is ~2 × this regardless of d.
+KENDALL_MEM_BUDGET = 32 << 20
+
+
+def kendall_rows(x1, x2, _chunk: int | None = None):
     """Kendall tau-b per row pair — stats::cor(t(X), method="kendall")
     (whitelisted at R/sim_calculate.R:99). Not expressible as a dot of
     row-preprocessed vectors (it needs every element pair), so it lives
@@ -69,14 +75,23 @@ def kendall_rows(x1, x2, _chunk: int = 256):
       tau_b = num / sqrt((n0−n1)·(n0−n2))
     A constant row gives denominator 0 → NaN, which crosses the Arrow
     boundary as SQL NULL (the faithful rendering of R's NA).
-    All counts are exact int64; the one float op order (sqrt then divide)
-    is fixed, so the result is bit-identical to any engine using the same
-    formula — the DuckDB oracle (duck_oracle.sim_strata_sql("kendall"))
-    mirrors it term for term.
+    All counts are exact int64 (int8 sign matrices, einsum accumulated
+    in int64); the one float op order (sqrt then divide) is fixed, so
+    the result is bit-identical to any engine using the same formula —
+    the DuckDB oracle (duck_oracle.sim_strata_sql("kendall")) mirrors it
+    term for term.
 
-    Memory: sign matrices over the d(d−1)/2 index pairs are built per
-    `_chunk` row pairs (~4 MB at d=64, chunk=256), never for the whole
-    Arrow batch.
+    Scale bound (documented contract): compute is Θ(d²) per row pair —
+    intrinsic to the exact-tie vectorized formulation — so wall time
+    grows quadratically in feature dimension; fine to d≈2048 (≈2M index
+    pairs/row), beyond that prefer spearman (O(d log d) rank transform,
+    near-identical ordering semantics at high d). MEMORY does not grow
+    with d: the row-pair chunk adapts so the LARGEST transient (the
+    float64 difference matrix feeding np.sign, 8 bytes × chunk ×
+    d(d−1)/2) stays within KENDALL_MEM_BUDGET — peak extra memory is
+    ~3× the budget (diff + sign temp + int8 copies) regardless of d
+    (d=64 → chunk 2080; d=512 → 32; d=4096 → 1), pinned by
+    tests/test_sim_suite.py::test_kendall_high_dim_memory_bounded.
     """
     import numpy as np
 
@@ -85,12 +100,15 @@ def kendall_rows(x1, x2, _chunk: int = 256):
     # index pairs hoisted once; sign diffs computed directly on the
     # d(d-1)/2 pairs (never materializing the full d×d tensor)
     iu0, iu1 = np.triu_indices(d, k=1)
+    n_pairs = len(iu0)
+    if _chunk is None:
+        _chunk = max(1, KENDALL_MEM_BUDGET // max(n_pairs * 8, 1))
     for s in range(0, n, _chunk):
         a = x1[s : s + _chunk]
         b = x2[s : s + _chunk]
-        sxu = np.sign(a[:, iu0] - a[:, iu1])
-        syu = np.sign(b[:, iu0] - b[:, iu1])
-        num = np.einsum("ij,ij->i", sxu, syu)
+        sxu = np.sign(a[:, iu0] - a[:, iu1]).astype(np.int8)
+        syu = np.sign(b[:, iu0] - b[:, iu1]).astype(np.int8)
+        num = np.einsum("ij,ij->i", sxu, syu, dtype=np.int64)
         dx = np.count_nonzero(sxu, axis=1).astype(np.float64)
         dy = np.count_nonzero(syu, axis=1).astype(np.float64)
         denom = np.sqrt(dx * dy)

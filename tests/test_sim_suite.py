@@ -139,6 +139,36 @@ def test_kendall_matches_naive_reference(spark):
     assert got == pytest.approx(want, rel=1e-12)
 
 
+def test_kendall_high_dim_memory_bounded(spark):
+    """Scale guard (kendall_rows docstring contract): at d=512 the
+    adaptive chunk must shrink so the float64 diff buffers stay within
+    KENDALL_MEM_BUDGET, and results must equal the small-chunk reference
+    (chunking is numerically inert — exact integer counts)."""
+    import tracemalloc
+
+    import numpy as np
+
+    from matric_spark.operators.sparse import KENDALL_MEM_BUDGET, kendall_rows
+
+    d = 512
+    n_pairs = d * (d - 1) // 2
+    expected_chunk = max(1, KENDALL_MEM_BUDGET // (n_pairs * 8))
+    assert expected_chunk < 64  # the guard actually engages at this dim
+
+    rng = np.random.default_rng(3)
+    x1 = rng.normal(size=(96, d))
+    x2 = rng.normal(size=(96, d))
+    tracemalloc.start()
+    got = kendall_rows(x1, x2)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 4 * KENDALL_MEM_BUDGET, f"peak {peak >> 20} MiB"
+    want = kendall_rows(x1, x2, _chunk=5)
+    assert np.array_equal(got, want)
+    # sanity: self-correlation is exactly 1
+    assert kendall_rows(x1[:4], x1[:4]) == pytest.approx([1.0] * 4)
+
+
 def test_correlation_kernels_raise_on_nan_features(spark):
     """Complete-rows contract: NaN features must raise (not silently
     diverge from pairwise.complete.obs, R/sim_calculate.R:122-124)."""

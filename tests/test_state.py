@@ -92,3 +92,51 @@ def test_input_fingerprint_changes_with_data(tmp_path):
     assert f1 == input_fingerprint(str(d))
     (d / "a.parquet").write_bytes(b"aaab")
     assert input_fingerprint(str(d)) != f1
+
+
+# ------------------------------------------------------- Iceberg backend
+
+
+def _iceberg_jars_present() -> bool:
+    from matric_spark.session import _iceberg_available
+
+    return _iceberg_available()
+
+
+@pytest.mark.skipif(
+    not _iceberg_jars_present(),
+    reason="iceberg-spark-runtime jar not on the classpath (sandbox); the "
+    "parquet backend covers the same logic path — only _read/_append "
+    "differ (state.StateStore docstring)",
+)
+def test_resume_on_iceberg(spark, tiny_transcripts, tmp_path, cfg):
+    """Crash-resume ≡ batch with REAL Iceberg state tables: state lives
+    in graft.<ns>.{local,key_index,sketch,log} (hadoop catalog, tmpdir
+    warehouse), appended via writeTo().append(), partitioned by
+    fingerprint. Runs green when the runtime jar is present; gracefully
+    skipped in jar-less sandboxes."""
+    assert spark.conf.get("spark.sql.catalog.graft", None), (
+        "session factory must register the graft catalog when jars exist"
+    )
+    sd = str(tmp_path / "ice_state")
+    partial = run_incremental(
+        spark, tiny_transcripts, sd, "run1", "fp1", cfg,
+        fail_after_partitions=1, catalog="iceberg",
+    )
+    assert {r.part for r in partial.select("part").distinct().collect()} == {1}
+    out = run_incremental(
+        spark, tiny_transcripts, sd, "run2", "fp1", cfg, catalog="iceberg"
+    )
+    assert _rows(out) == _rows(run_verdicts(tiny_transcripts, cfg))
+    # the state really is Iceberg: snapshot metadata is queryable and the
+    # snapshot-id fingerprint helper returns the latest commit
+    store = StateStore(spark, sd, catalog="iceberg")
+    from matric_spark.state import iceberg_snapshot_fingerprint
+
+    fp = iceberg_snapshot_fingerprint(spark, f"{store.ns}.log")
+    assert fp not in ("", "empty-table")
+
+
+def test_state_store_rejects_unknown_catalog(spark, tmp_path):
+    with pytest.raises(ValueError):
+        StateStore(spark, str(tmp_path), catalog="delta")
