@@ -238,6 +238,39 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 2 distinct
+    word 3-gram shingles with the benchmark subset (here: every 97th
+    doc stands in for the eval set; self-pairs excluded since benchmark
+    ⊆ corpus in this fixture)."""
+    from matric_spark.operators.corpus import contamination_flags
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, n=3, min_overlap=2).filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+
+
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup resolution: ngram-Jaccard pairs → connected
+    components → one canonical doc per cluster by quality score."""
+    from matric_spark.operators.corpus import cluster_canonical
+    from matric_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, 0.1)
+    return _round6(cluster_canonical(docs, pairs), ["quality"])
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing per language on the BPE-ish
+    token tape (512-token chunks)."""
+    from matric_spark.operators.corpus import pack_chunks
+
+    return pack_chunks(_docs(spark, sf_dir), budget=512, group_cols=["lang"])
+
+
 def q_emb_lsh_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soundness (precision) gate for the LSH near-dup path: every emitted
     LSH pair must appear in the exact all-pairs result with an identical
@@ -705,6 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_fwd": q_events_asof_fwd,
         "events_session_errors": q_events_session_errors,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "cluster_canonical": q_cluster_canonical,
+        "pack_chunks": q_pack_chunks,
         "doc_split_assign": q_doc_split_assign,
         "doc_sample_strat": q_doc_sample_strat,
         "text_parity": q_text_parity,
@@ -988,6 +1024,9 @@ SELECT l.event_id, l.user_id, l.ts, (round(l.value, 6) + 0) AS value,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
     sql["dedup_clusters"] = dk.dedup_clusters_sql(0.1)
+    sql["decontaminate"] = dk.contamination_sql("doc_id % 97 = 0", n=3, min_overlap=2)
+    sql["cluster_canonical"] = dk.cluster_canonical_sql(0.1)
+    sql["pack_chunks"] = dk.pack_chunks_sql(512, "lang")
 
     sql["doc_split_assign"] = f"""
 SELECT doc_id, {dk.hash_split_sql(['doc_id'], _SPLITS)} AS split

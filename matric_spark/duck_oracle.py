@@ -51,9 +51,8 @@ WITH t AS (
 ), m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{{1,3}}| ?[^\\sA-Za-z0-9]+'
-         )) AS BIGINT) AS n_bpe_tokens,
+         CAST(len(regexp_extract_all(text, {BPE_REGEXP})) AS BIGINT)
+           AS n_bpe_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE))) / len(toks) AS avg_token_len,
          len(list_filter(toks, x -> list_contains({stop}, x))) / len(toks) AS stopword_ratio,
@@ -639,6 +638,77 @@ sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        FROM cc GROUP BY 1)
 SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
 FROM cc JOIN sz USING (cluster_id)"""
+
+
+def contamination_sql(
+    bench_pred: str, n: int = 3, min_overlap: int = 2
+) -> str:
+    """Mirrors operators/corpus.contamination_flags: shared normalized
+    word-shingle hashes between documents and the benchmark subset
+    (`bench_pred` selects benchmark rows of the documents view)."""
+    return f"""
+WITH {_shingle_sets_sql(n)},
+bench AS (SELECT doc_id AS bench_id, h FROM sets
+          WHERE bench_id IN (SELECT doc_id FROM documents WHERE {bench_pred}))
+SELECT s.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sets s JOIN bench b USING (h)
+WHERE s.doc_id <> b.bench_id
+GROUP BY 1, 2 HAVING count(*) >= {min_overlap}"""
+
+
+QUALITY_EXPR = """
+least(1.0, len({toks}) / 50.0)
+  * (1.0 - abs(len(list_filter({toks}, x -> list_contains({stop}, x)))
+               / len({toks}) - 0.2))
+  * (1.0 - least(0.5, CASE WHEN length({col}) > 0 THEN
+       (length({col}) - length(regexp_replace({col}, '[.,;:!?''"()\\-]', '', 'g')))
+       / length({col})
+     ELSE 0.0 END))"""
+
+
+def cluster_canonical_sql(threshold: float = 0.1, n: int = 3) -> str:
+    """Mirrors operators/corpus.cluster_canonical over the ngram-Jaccard
+    clusters: per cluster, best quality wins (doc_id asc tie-break)."""
+    clusters = dedup_clusters_sql(threshold, n)
+    q = QUALITY_EXPR.format(
+        toks=TOKS.format(col="text"), stop=_sql_list(STOPWORDS), col="text"
+    )
+    # window ordering uses FULL-precision quality (matching the Spark
+    # side); rounding happens only on the output column
+    return f"""
+WITH cc AS ({clusters}),
+scored AS (
+  SELECT cc.doc_id, cc.cluster_id, {q} AS quality
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+SELECT doc_id, cluster_id, (round(quality, 6) + 0) AS quality,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id) = 1 AS is_canonical
+FROM scored"""
+
+
+BPE_REGEXP = (
+    "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\\sA-Za-z0-9]+'"
+)
+
+
+def pack_chunks_sql(budget: int = 512, group_col: str = "lang") -> str:
+    """Mirrors operators/corpus.pack_chunks: concat-and-chop packing on
+    the BPE-ish token tape, per group in doc_id order."""
+    return f"""
+WITH t AS (
+  SELECT {group_col}, doc_id,
+         CAST(len(regexp_extract_all(text, {BPE_REGEXP})) AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT {group_col}, doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY {group_col} ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS "offset"
+  FROM t)
+SELECT {group_col}, doc_id, n_tokens, "offset",
+       CAST(floor("offset" / {float(budget)}) AS BIGINT) AS chunk_id
+FROM o"""
 
 
 def hash_uniform_sql(id_exprs: list[str], salt: str) -> str:
