@@ -271,6 +271,63 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(_docs(spark, sf_dir), budget=512, group_cols=["lang"])
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc n-gram repetition fractions (n = 1, 2, 3)."""
+    from matric_spark.operators.text_analysis import doc_repetition
+
+    return _round6(
+        doc_repetition(_docs(spark, sf_dir)), ["top_frac", "dup_frac"]
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction. The synthetic corpus contains no PII, so
+    the gate plants deterministic email/IP/phone spans keyed on doc_id —
+    mirrored exactly by duck_oracle.PII_PLANT_SQL — and the oracle then
+    verifies counts AND the redacted text byte-for-byte (a real Java-regex
+    vs RE2 parity check, not an all-zeros pass)."""
+    from matric_spark.operators.text_analysis import pii_scrub
+
+    d = F.col("doc_id")
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" node 10.0."),
+                    (d % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(
+                    F.lit(" call +1 (555) 010-"),
+                    (F.lit(1000) + d % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(planted)
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: per-token document frequency + total tf."""
+    from matric_spark.operators.text_analysis import term_df
+
+    return term_df(_docs(spark, sf_dir), min_df=2)
+
+
 def q_emb_lsh_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soundness (precision) gate for the LSH near-dup path: every emitted
     LSH pair must appear in the exact all-pairs result with an identical
@@ -741,6 +798,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "cluster_canonical": q_cluster_canonical,
         "pack_chunks": q_pack_chunks,
+        "doc_repetition": q_doc_repetition,
+        "pii_scrub": q_pii_scrub,
+        "term_df": q_term_df,
         "doc_split_assign": q_doc_split_assign,
         "doc_sample_strat": q_doc_sample_strat,
         "text_parity": q_text_parity,
@@ -1027,6 +1087,9 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
     sql["decontaminate"] = dk.contamination_sql("doc_id % 97 = 0", n=3, min_overlap=2)
     sql["cluster_canonical"] = dk.cluster_canonical_sql(0.1)
     sql["pack_chunks"] = dk.pack_chunks_sql(512, "lang")
+    sql["doc_repetition"] = dk.doc_repetition_sql((1, 2, 3))
+    sql["pii_scrub"] = dk.pii_scrub_sql(plant=True)
+    sql["term_df"] = dk.term_df_sql(2)
 
     sql["doc_split_assign"] = f"""
 SELECT doc_id, {dk.hash_split_sql(['doc_id'], _SPLITS)} AS split

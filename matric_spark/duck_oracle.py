@@ -711,6 +711,85 @@ SELECT {group_col}, doc_id, n_tokens, "offset",
 FROM o"""
 
 
+def doc_repetition_sql(ns: tuple[int, ...] = (1, 2, 3)) -> str:
+    """Mirrors operators/text_analysis.doc_repetition: per-doc n-gram
+    repetition fractions over normalized text, one arm per n."""
+    norm = NORM.format(col="text")
+    arms = []
+    for n in ns:
+        arms.append(
+            f"SELECT doc_id, {n} AS n, unnest({_shingles('t', n)}) AS gram FROM toks"
+        )
+    union = "\n  UNION ALL ".join(arms)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents),
+g AS (
+  {union}
+),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+SELECT doc_id, n,
+       CAST(sum(c) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       (round(max(c) / sum(c), 6) + 0) AS top_frac,
+       (round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 6) + 0)
+         AS dup_frac
+FROM c GROUP BY 1, 2"""
+
+
+#: SQL twins of operators/text_analysis.PII_* (same source strings; SQL
+#: standard literals do not process backslashes, so they paste verbatim).
+_PII_EMAIL_SQL = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+_PII_IP_SQL = "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'"
+_PII_PHONE_SQL = "'\\+?[0-9][0-9()\\- ]{6,}[0-9]'"
+
+#: Deterministic PII planting for the gate query (the synthetic corpus has
+#: none): appended spans keyed on doc_id, mirrored exactly in Spark by
+#: __spark_entry__.q_pii_scrub.
+PII_PLANT_SQL = """
+SELECT doc_id,
+  text || CASE WHEN doc_id % 7 = 0
+    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    ELSE '' END
+       || CASE WHEN doc_id % 11 = 0
+    THEN ' node 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+    ELSE '' END
+       || CASE WHEN doc_id % 13 = 0
+    THEN ' call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+    ELSE '' END AS text
+FROM documents"""
+
+
+def pii_scrub_sql(plant: bool = True) -> str:
+    """Mirrors operators/text_analysis.pii_scrub: pattern counts on the
+    original text, then sequential email -> ip -> phone redaction."""
+    src = f"({PII_PLANT_SQL})" if plant else "documents"
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"{_PII_EMAIL_SQL}, '[EMAIL]', 'g'), "
+        f"{_PII_IP_SQL}, '[IP]', 'g'), "
+        f"{_PII_PHONE_SQL}, '[PHONE]', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, {_PII_EMAIL_SQL})) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, {_PII_IP_SQL})) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, {_PII_PHONE_SQL})) AS BIGINT) AS n_phones,
+       {red} AS text_redacted
+FROM {src} p"""
+
+
+def term_df_sql(min_df: int = 2) -> str:
+    """Mirrors operators/text_analysis.term_df: per-token document
+    frequency + total term frequency over normalized tokens."""
+    norm = NORM.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS token FROM documents),
+pd AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM pd GROUP BY 1 HAVING count(*) >= {min_df}"""
+
+
 def hash_uniform_sql(id_exprs: list[str], salt: str) -> str:
     """Mirrors operators/sampling.hash_uniform bit-for-bit: salted
     \\x1f-joined key (NULL components coalesced to the \\x1enull

@@ -71,6 +71,106 @@ def doc_fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     )
 
 
+def doc_repetition(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Per-document n-gram repetition signals (the Gopher/C4 quality-rule
+    family): for each n, the fraction of n-gram occurrences taken by the
+    single most frequent n-gram (`top_frac`) and by all n-grams occurring
+    more than once (`dup_frac`) ->
+    DataFrame[doc_id, n, total_ngrams, n_distinct, top_frac, dup_frac].
+
+    Scale shape: explode + two-level hash aggregate keyed on
+    (doc_id, n, gram) — linear in corpus size with map-side partial
+    aggregation, never an O(len²) per-row expression, so a pathological
+    100k-token document costs 100k rows, not 10^10 comparison ops.
+    n=1 reuses the same machinery for word-level repetition (1 − TTR).
+    """
+    from matric_spark.functions.hashing import word_shingles
+    from matric_spark.operators.dedup import normalized_text
+
+    norm = normalized_text("text")
+    grams = None
+    for n in ns:
+        g = docs.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(word_shingles(norm, n)).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c")
+        ).alias("dup_frac"),
+    )
+
+
+#: PII patterns — deliberately lookahead/backreference-free so Java regex
+#: (Spark) and RE2 (the DuckDB oracle) agree on every match. Counts are
+#: taken on the ORIGINAL text per pattern independently; redaction is
+#: applied sequentially email → ip → phone on both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact email / IPv4 / phone-shaped spans ->
+    DataFrame[doc_id, n_emails, n_ips, n_phones, text_redacted].
+
+    Pure codegen scan (regexp_count + chained regexp_replace): no shuffle,
+    no Python — at 100 TB this runs at parquet-scan speed. The redaction
+    ORDER is part of the contract (emails contain digits a later phone
+    pass must not see; the [EMAIL]/[IP] placeholders contain none).
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IP, "[IP]")
+    red = F.regexp_replace(red, PII_PHONE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        red.alias("text_redacted"),
+    )
+
+
+def term_df(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Corpus vocabulary statistics: per token, the document frequency
+    and total term frequency -> DataFrame[token, df, total_tf].
+
+    The classic giant-shuffle aggregation, built to survive it: tokens
+    are pre-counted per document (groupBy(doc_id, token) — map-side
+    combine collapses each doc's repeats before the exchange), then the
+    per-token rollup shuffles one row per (doc, distinct token), never
+    one per occurrence. `min_df` prunes the hapax tail on output.
+    """
+    from matric_spark.operators.dedup import normalized_text
+
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
 def corpus_quality(docs: DataFrame) -> DataFrame:
     """Rollup of quality stats per (lang, source) — one hash aggregate."""
     scored = docs.select(

@@ -1,0 +1,105 @@
+"""Repetition signals, PII scrubbing, and vocabulary stats
+(operators/text_analysis.doc_repetition / pii_scrub / term_df).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from matric_spark.operators.text_analysis import (
+    doc_repetition,
+    pii_scrub,
+    term_df,
+)
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    rows = [
+        (1, "a a a a"),              # one token repeated 4x
+        (2, "a b c d"),              # all distinct
+        (3, "x y x y x y"),          # bigram "x y" dominates
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_repetition_word_level(rep_docs):
+    out = {
+        (r.doc_id, r.n): r
+        for r in doc_repetition(rep_docs, ns=(1, 2)).collect()
+    }
+    r1 = out[(1, 1)]
+    assert r1.total_ngrams == 4 and r1.n_distinct == 1
+    assert r1.top_frac == 1.0 and r1.dup_frac == 1.0
+    r2 = out[(2, 1)]
+    assert r2.top_frac == 0.25 and r2.dup_frac == 0.0
+    # doc 3 bigrams: "x y","y x","x y","y x","x y" → top "x y" 3/5
+    r3 = out[(3, 2)]
+    assert r3.total_ngrams == 5 and r3.n_distinct == 2
+    assert r3.top_frac == 0.6 and r3.dup_frac == 1.0
+
+
+def test_repetition_short_doc_whole_text_shingle(spark):
+    d = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    out = doc_repetition(d, ns=(3,)).collect()
+    # shorter than n → single whole-text shingle
+    assert len(out) == 1 and out[0].total_ngrams == 1 and out[0].top_frac == 1.0
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org thanks"),
+        (2, "server 192.168.0.1 and 10.0.0.255 rebooted"),
+        (3, "call +1 (555) 010-9999 now"),
+        (4, "clean text with no pii at all"),
+        (5, "mix a@b.io on 8.8.8.8 dial 555-010-1234 end"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_scrub(d).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 0, 0)
+    assert "[EMAIL]" in out[1].text_redacted and "@" not in out[1].text_redacted
+    assert out[2].n_ips == 2 and out[2].text_redacted.count("[IP]") == 2
+    assert out[3].n_phones == 1 and "[PHONE]" in out[3].text_redacted
+    assert out[4].text_redacted == rows[3][1]
+    assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (1, 1, 1)
+    red = out[5].text_redacted
+    assert "[EMAIL]" in red and "[IP]" in red and "[PHONE]" in red
+
+
+def test_pii_redaction_order_email_digits_not_rematched(spark):
+    # the email's digits must not later be matched as a phone: redaction
+    # goes email → ip → phone and the placeholder carries no digits
+    d = spark.createDataFrame(
+        [(1, "reach 12345678a@example.com here")], ["doc_id", "text"]
+    )
+    r = pii_scrub(d).collect()[0]
+    assert r.n_emails == 1
+    assert r.text_redacted == "reach [EMAIL] here"
+
+
+def test_term_df_counts(spark):
+    rows = [
+        (1, "spark spark duck"),
+        (2, "spark row"),
+        (3, "duck row row"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.token: r for r in term_df(d, min_df=2).collect()}
+    assert set(out) == {"spark", "duck", "row"}
+    assert (out["spark"].df, out["spark"].total_tf) == (2, 3)
+    assert (out["duck"].df, out["duck"].total_tf) == (2, 2)
+    assert (out["row"].df, out["row"].total_tf) == (2, 3)
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    d = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_term_df_partial_agg_before_exchange(spark):
+    """Both aggregation levels must show partial_ aggregates (map-side
+    combine) so per-occurrence rows never cross the wire."""
+    d = spark.createDataFrame([(1, "x y x")], ["doc_id", "text"])
+    plan = term_df(d)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, plan
