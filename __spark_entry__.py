@@ -328,6 +328,20 @@ def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_df(_docs(spark, sf_dir), min_df=2)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (log-free idf ratio)."""
+    from matric_spark.operators.text_analysis import tfidf_topk
+
+    return _round6(tfidf_topk(_docs(spark, sf_dir), k=5), ["score"])
+
+
+def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-conversation content fingerprints + dup-group resolution."""
+    from matric_spark.checks.sequence import conversation_fingerprint
+
+    return conversation_fingerprint(transcript_df(spark, sf_dir))
+
+
 def q_emb_lsh_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soundness (precision) gate for the LSH near-dup path: every emitted
     LSH pair must appear in the exact all-pairs result with an identical
@@ -801,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "pii_scrub": q_pii_scrub,
         "term_df": q_term_df,
+        "tfidf_topk": q_tfidf_topk,
+        "conv_fingerprint": q_conv_fingerprint,
         "doc_split_assign": q_doc_split_assign,
         "doc_sample_strat": q_doc_sample_strat,
         "text_parity": q_text_parity,
@@ -1090,6 +1106,23 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
     sql["doc_repetition"] = dk.doc_repetition_sql((1, 2, 3))
     sql["pii_scrub"] = dk.pii_scrub_sql(plant=True)
     sql["term_df"] = dk.term_df_sql(2)
+    sql["tfidf_topk"] = dk.tfidf_topk_sql(5, 1)
+
+    sql["conv_fingerprint"] = f"""{_T},
+r AS (SELECT conv_id, turn_idx, ts,
+        coalesce(role, chr(29) || 'null') || chr(31)
+          || coalesce(text, chr(29) || 'null') AS s
+      FROM transcripts),
+a AS (SELECT conv_id, string_agg(s, chr(30) ORDER BY turn_idx, ts, s) AS tape
+      FROM r GROUP BY 1),
+f AS (SELECT conv_id, CAST('0x' || substr(md5(tape), 1, 15) AS BIGINT) AS conv_fp
+      FROM a),
+g AS (SELECT conv_fp, CAST(count(*) AS BIGINT) AS group_size,
+             min(conv_id) AS canonical_conv_id
+      FROM f GROUP BY 1)
+SELECT f.conv_id, f.conv_fp, g.group_size, g.canonical_conv_id,
+       f.conv_id = g.canonical_conv_id AS is_canonical
+FROM f JOIN g USING (conv_fp)"""
 
     sql["doc_split_assign"] = f"""
 SELECT doc_id, {dk.hash_split_sql(['doc_id'], _SPLITS)} AS split

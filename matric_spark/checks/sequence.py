@@ -47,6 +47,51 @@ def conversation_shape(df: DataFrame) -> DataFrame:
     )
 
 
+def conversation_fingerprint(df: DataFrame) -> DataFrame:
+    """Whole-conversation content identity: a 60-bit hash of the ordered
+    (role, text) turn tape per conversation, plus dup-group resolution ->
+    DataFrame[conv_id, conv_fp, group_size, canonical_conv_id, is_canonical].
+
+    This aggregates the north rule's per-row invariant (per-turn text
+    equality under the stable (conv_id, turn_idx) ordering) into one
+    comparable value per conversation: two conversations match iff every
+    turn's (role, text) matches in order. Rows are ordered by
+    (turn_idx, ts, composed-string) so duplicate turn_idx keys — which the
+    synthetic table plants deliberately — still serialize deterministically.
+    Field/record separators \\x1f/\\x1e and the NULL sentinel \\x1d"null"
+    are distinct bytes, so no value can fake a boundary.
+
+    Scale shape: one groupBy(conv_id) (bounded state — a conversation is
+    ~10^4 turns max, so collect_list never concentrates the table), then a
+    window over conv_fp whose partitions are dup groups (small by
+    construction). Ids-and-hashes only after the first aggregate.
+    """
+    from matric_spark.functions.hashing import md5_long
+
+    s = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("role"), F.lit("\x1dnull")),
+        F.coalesce(F.col("text"), F.lit("\x1dnull")),
+    )
+    item = F.struct(F.col("turn_idx"), F.col("ts"), s.alias("s"))
+    g = df.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(item)).alias("items")
+    )
+    tape = F.array_join(
+        F.transform(F.col("items"), lambda x: x["s"]), "\x1e"
+    )
+    fp = g.select("conv_id", md5_long(tape).alias("conv_fp"))
+    w = Window.partitionBy("conv_fp")
+    return fp.select(
+        "conv_id",
+        "conv_fp",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        F.min("conv_id").over(w).alias("canonical_conv_id"),
+    ).withColumn(
+        "is_canonical", F.col("conv_id") == F.col("canonical_conv_id")
+    )
+
+
 def out_of_order_turns(df: DataFrame) -> DataFrame:
     """Rows whose ts is strictly below the max ts of any earlier turn
     (ordered by (turn_idx, ts) — the ts tie-break makes the preceding-max

@@ -790,6 +790,28 @@ SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_t
 FROM pd GROUP BY 1 HAVING count(*) >= {min_df}"""
 
 
+def tfidf_topk_sql(k: int = 5, min_df: int = 1) -> str:
+    """Mirrors operators/text_analysis.tfidf_topk: log-free idf ratio
+    (exact-integer product + one IEEE division) so score order is
+    bitwise-reproducible across engines."""
+    norm = NORM.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS token FROM documents),
+pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY 1
+        HAVING count(*) >= {min_df}),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT pd.doc_id, pd.token, pd.tf, dfx.df,
+             (pd.tf * (nd.n_docs + 1)) / (dfx.df + 1) AS score
+      FROM pd JOIN dfx USING (token) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, token) AS "rank" FROM s)
+SELECT doc_id, token, tf, df, (round(score, 6) + 0) AS score,
+       CAST("rank" AS BIGINT) AS "rank"
+FROM r WHERE "rank" <= {k}"""
+
+
 def hash_uniform_sql(id_exprs: list[str], salt: str) -> str:
     """Mirrors operators/sampling.hash_uniform bit-for-bit: salted
     \\x1f-joined key (NULL components coalesced to the \\x1enull

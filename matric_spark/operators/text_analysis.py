@@ -171,6 +171,60 @@ def term_df(docs: DataFrame, min_df: int = 2) -> DataFrame:
     )
 
 
+def tfidf_topk(docs: DataFrame, k: int = 5, min_df: int = 1) -> DataFrame:
+    """Top-k salient terms per document by TF-IDF ->
+    DataFrame[doc_id, token, tf, df, score, rank].
+
+    The idf is the LOG-FREE ratio (n_docs+1)/(df+1): monotone in the
+    usual idf, but computed as one exact-integer product and one IEEE
+    division — bitwise identical across engines, so rank order (and the
+    byte-strict oracle hash) can never diverge by a ulp the way ln()
+    results can. Ties break on token ascending.
+
+    Scale shape: per-doc tf via groupBy(doc_id, token) with map-side
+    combine; the df table is min_df-pruned and BROADCAST back (vocab ≪
+    corpus; for a 10^8-term vocab switch the hint off and let AQE pick a
+    shuffle join); top-k is one window keyed on doc_id.
+    """
+    from matric_spark.operators.dedup import normalized_text
+    from pyspark.sql import Window
+
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfx = (
+        per_doc.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        per_doc.join(F.broadcast(dfx), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * (F.col("n_docs") + 1))
+                / (F.col("df") + 1)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def corpus_quality(docs: DataFrame) -> DataFrame:
     """Rollup of quality stats per (lang, source) — one hash aggregate."""
     scored = docs.select(

@@ -91,6 +91,82 @@ def test_term_df_counts(spark):
     assert (out["row"].df, out["row"].total_tf) == (2, 3)
 
 
+def test_tfidf_topk_ranks_rare_terms_higher(spark):
+    from matric_spark.operators.text_analysis import tfidf_topk
+
+    rows = [
+        (1, "common rare common common"),
+        (2, "common other"),
+        (3, "common thing"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = [r for r in tfidf_topk(d, k=2).collect() if r.doc_id == 1]
+    out.sort(key=lambda r: r.rank)
+    # doc 1: tf(common)=3 df=3 → 3*4/4=3.0; tf(rare)=1 df=1 → 1*4/2=2.0
+    assert [r.token for r in out] == ["common", "rare"]
+    assert out[0].score == 3.0 and out[1].score == 2.0
+
+
+def test_tfidf_topk_k_bound_and_tie_break(spark):
+    from matric_spark.operators.text_analysis import tfidf_topk
+
+    d = spark.createDataFrame([(1, "b a c d e f")], ["doc_id", "text"])
+    out = sorted(tfidf_topk(d, k=3).collect(), key=lambda r: r.rank)
+    # all terms tie (tf=1, df=1) → token-ascending order, only k rows
+    assert [r.token for r in out] == ["a", "b", "c"]
+
+
+def test_conversation_fingerprint_dup_groups(spark):
+    import datetime as dt
+
+    from matric_spark.checks.sequence import conversation_fingerprint
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # X and Y: identical (role, text) tapes, different ts → same fp
+        ("X", 0, "user", "hi", None, t0),
+        ("X", 1, "assistant", "hello", None, t0),
+        ("Y", 0, "user", "hi", None, t0),
+        ("Y", 1, "assistant", "hello", None, t0),
+        # Z: same texts, different role on turn 1 → different fp
+        ("Z", 0, "user", "hi", None, t0),
+        ("Z", 1, "user", "hello", None, t0),
+        # W: null text must not collide with the literal string
+        ("W", 0, "user", None, None, t0),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r.conv_id: r for r in conversation_fingerprint(d).collect()}
+    assert out["X"].conv_fp == out["Y"].conv_fp
+    assert out["X"].group_size == 2 and out["Y"].group_size == 2
+    assert out["X"].canonical_conv_id == "X"
+    assert out["X"].is_canonical and not out["Y"].is_canonical
+    assert out["Z"].conv_fp != out["X"].conv_fp
+    assert out["Z"].group_size == 1 and out["Z"].is_canonical
+    assert len({r.conv_fp for r in out.values()}) == 3
+
+
+def test_conversation_fingerprint_order_independent_of_input(spark):
+    import datetime as dt
+
+    from matric_spark.checks.sequence import conversation_fingerprint
+
+    t0 = dt.datetime(2024, 1, 1)
+    fwd = [("C", i, "user", f"t{i}", None, t0) for i in range(4)]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    a = conversation_fingerprint(spark.createDataFrame(fwd, schema)).collect()
+    b = conversation_fingerprint(
+        spark.createDataFrame(list(reversed(fwd)), schema)
+    ).collect()
+    assert a[0].conv_fp == b[0].conv_fp
+
+
 def test_pii_scrub_is_shuffle_free(spark):
     d = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     plan = pii_scrub(d)._jdf.queryExecution().executedPlan().toString()
