@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from matric_spark.checks.column_stats import column_stats
 from matric_spark.checks.drift import ks_by_partition, psi_by_partition
 from matric_spark.checks.referential import domain_violations
-from matric_spark.checks.sequence import conversation_shape, out_of_order_turns
+from matric_spark.checks.sequence import (
+    DEFAULT_ROLE_GRAMMAR,
+    conversation_shape,
+    out_of_order_turns,
+)
 from matric_spark.checks.uniqueness import duplicate_keys
 from matric_spark.checks.suite import SuiteConfig, run_verdicts
 from matric_spark.schema import DEFAULT_ROLE_DOMAIN, DEFAULT_TOOL_DOMAIN
@@ -678,6 +682,46 @@ def q_events_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["err_value"])
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user activity as of each event (RANGE frame
+    over integer epoch-seconds — value-based, so intra-second ties are
+    peers and the result is tie-order independent)."""
+    from matric_spark.operators.events import rolling_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _round6(rolling_stats(ev), ["roll_sum", "roll_mean"])
+
+
+def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift: KS of floor(value) for each DAY cohort vs the rest
+    of the event stream — the time-axis twin of drift_ks's partition
+    cohorts."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn(
+        "cohort",
+        (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts"))
+        .cast("int"),
+    )
+    out = ks_by_partition(ev, "cohort", F.floor("value").cast("long"))
+    return _round6(out, ["ks_d", "ks_p"])
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition FSM audit: adjacent (prev_role, role) counts per
+    the stable turn ordering, flagged against the conversation grammar."""
+    from matric_spark.checks.sequence import role_transitions
+
+    return role_transitions(transcript_df(spark, sf_dir))
+
+
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM mean log-prob per doc (perplexity-filter
+    pattern)."""
+    from matric_spark.operators.text_analysis import doc_lm_score
+
+    return _round6(doc_lm_score(_docs(spark, sf_dir)), ["lm_logprob"])
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair list → duplicate clusters (connected components): transitive
     closure of the ngram-Jaccard candidate pairs, canonical id = min
@@ -808,6 +852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_asof_fwd": q_events_asof_fwd,
         "events_session_errors": q_events_session_errors,
+        "events_rolling": q_events_rolling,
+        "events_drift": q_events_drift,
+        "role_transitions": q_role_transitions,
+        "doc_lm_score": q_doc_lm_score,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "cluster_canonical": q_cluster_canonical,
@@ -825,6 +873,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # -------------------------------------------------------------- oracle SQL
+
+def _ks_ctes(src: str, part: str, val: str) -> str:
+    """CTE chain computing the per-cohort two-sample KS statistic of
+    `val` (cohort vs complement) over `src` — mirrors
+    checks/drift.ks_by_partition step for step."""
+    return f"""
+cnt AS (SELECT {part} p, {val} v, CAST(count(*) AS BIGINT) c
+        FROM {src} WHERE {val} IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT p, CAST(sum(c) AS BIGINT) np FROM cnt GROUP BY 1),
+tot AS (SELECT v, CAST(sum(c) AS BIGINT) ct FROM cnt GROUP BY 1),
+ntot AS (SELECT CAST(sum(np) AS BIGINT) n_total FROM parts),
+grid AS (SELECT parts.p, parts.np, tot.v, tot.ct FROM parts CROSS JOIN tot),
+jj AS (SELECT g.p, g.np, g.v, g.ct, COALESCE(cnt.c, 0) c, ntot.n_total
+       FROM grid g LEFT JOIN cnt ON cnt.p = g.p AND cnt.v = g.v CROSS JOIN ntot),
+cum AS (SELECT p, np, n_total,
+               sum(c)  OVER (PARTITION BY p ORDER BY v) cum_c,
+               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t
+        FROM jj),
+ks AS (SELECT p, np AS n_part, n_total - np AS n_rest,
+              max(abs(CAST(cum_c AS DOUBLE) / np
+                      - CAST(cum_t - cum_c AS DOUBLE) / (n_total - np))) ks_d
+       FROM cum GROUP BY p, np, n_total)
+"""
+
+
+# the KS→p-value tail shared by every drift query (3-term Smirnov series)
+_KS_P_SELECT = """
+SELECT p AS {part_out}, n_part, n_rest, (round(ks_d, 6) + 0) AS ks_d,
+       (round(least(1.0, greatest(0.0,
+           2.0 * (exp(-2.0 * ne * ks_d * ks_d)
+                  - exp(-8.0 * ne * ks_d * ks_d)
+                  + exp(-18.0 * ne * ks_d * ks_d)))), 6) + 0) AS ks_p
+FROM (SELECT *, CAST(n_part AS DOUBLE) * n_rest / (n_part + n_rest) AS ne FROM ks) y"""
+
 
 _KS_CTES = """
 cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
@@ -874,6 +956,8 @@ WHERE ts < prev_max GROUP BY 1
 
 
 def oracle_sql() -> dict[str, str]:
+    from matric_spark import duck_oracle as dk
+
     sql: dict[str, str] = {}
 
     sql["colstats"] = f"""{_T}
@@ -928,12 +1012,46 @@ WHERE ts < prev_max"""
 
     sql["drift_ks"] = f"""{_T},
 {_KS_CTES}
-SELECT p AS part_month, n_part, n_rest, (round(ks_d, 6) + 0) AS ks_d,
-       (round(least(1.0, greatest(0.0,
-           2.0 * (exp(-2.0 * ne * ks_d * ks_d)
-                  - exp(-8.0 * ne * ks_d * ks_d)
-                  + exp(-18.0 * ne * ks_d * ks_d)))), 6) + 0) AS ks_p
-FROM (SELECT *, CAST(n_part AS DOUBLE) * n_rest / (n_part + n_rest) AS ne FROM ks) y"""
+{_KS_P_SELECT.format(part_out="part_month")}"""
+
+    sql["events_drift"] = f"""WITH
+{_ks_ctes(
+        "events",
+        "CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT)",
+        "CAST(floor(value) AS BIGINT)",
+    )}
+{_KS_P_SELECT.format(part_out="cohort")}"""
+
+    sql["events_rolling"] = """
+WITH s AS (SELECT event_id, user_id, ts, value,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       (round(sum(value) OVER w, 6) + 0) AS roll_sum,
+       (round(avg(value) OVER w, 6) + 0) AS roll_mean
+FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)"""
+
+    _null_s = "chr(29) || 'null'"
+    _order_s = (
+        f"coalesce(role, {_null_s}) || chr(31) || "
+        f"coalesce(text, {_null_s}) || chr(31) || coalesce(tool, {_null_s})"
+    )
+    _grammar = ", ".join(
+        f"'{a}\x1f{b}'" for a, b in sorted(DEFAULT_ROLE_GRAMMAR)
+    )
+    sql["role_transitions"] = f"""{_T},
+o AS (SELECT coalesce(role, {_null_s}) AS role_s,
+             lag(coalesce(role, {_null_s})) OVER (
+                 PARTITION BY conv_id
+                 ORDER BY turn_idx, ts, {_order_s}) AS prev
+      FROM transcripts)
+SELECT coalesce(prev, '<start>') AS prev_role, role_s AS role,
+       CAST(count(*) AS BIGINT) AS n,
+       (coalesce(prev, '<start>') || chr(31) || role_s) IN ({_grammar}) AS allowed
+FROM o GROUP BY 1, 2"""
+
+    sql["doc_lm_score"] = dk.doc_lm_score_sql()
 
     sql["drift_psi"] = f"""{_T},
 cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
@@ -990,8 +1108,6 @@ SELECT part, 'drift_psi', (round(psi, 6) + 0),
        CASE WHEN psi > 0.25 THEN 'fail' ELSE 'pass' END FROM wide"""
 
     # ---- training-data pipeline oracles (documents/embeddings views) ----
-    from matric_spark import duck_oracle as dk
-
     sql["doc_text_stats"] = dk.doc_text_stats_sql()
     sql["doc_langid"] = dk.doc_langid_sql()
     sql["doc_fingerprint"] = dk.doc_fingerprint_sql()

@@ -92,6 +92,71 @@ def conversation_fingerprint(df: DataFrame) -> DataFrame:
     )
 
 
+# Canonical grammar of the synthetic transcript view
+# (sources/transcripts_view.py): system opens, then (user, assistant,
+# tool)* cycles. Planted 'moderator' rows and duplicate-turn collisions
+# violate it — exactly the rows a transition audit must surface.
+DEFAULT_ROLE_GRAMMAR: frozenset[tuple[str, str]] = frozenset(
+    {
+        ("<start>", "system"),
+        ("system", "user"),
+        ("user", "assistant"),
+        ("assistant", "tool"),
+        ("tool", "user"),
+    }
+)
+
+
+def role_transitions(
+    df: DataFrame,
+    allowed: frozenset[tuple[str, str]] = DEFAULT_ROLE_GRAMMAR,
+) -> DataFrame:
+    """Role-transition matrix with FSM validation ->
+    DataFrame[prev_role, role, n, allowed].
+
+    Orders each conversation by (turn_idx, ts, role, text, tool) — the
+    trailing columns break duplicate-key ties, and rows tying on ALL five
+    are full duplicates whose relative order cannot change any adjacent
+    pair — then counts adjacent (lag(role), role) pairs. The first turn
+    pairs with the sentinel '<start>', so opening-role violations surface
+    in the same matrix. `allowed` marks each observed transition against
+    the grammar; disallowed rows with n > 0 are the violations.
+
+    NULL handling: roles are coalesced to the \\x1d"null" sentinel BEFORE
+    the lag so a genuine null role is distinguishable from row-one (whose
+    lag is NULL -> '<start>'); ordering columns are coalesced too because
+    Spark sorts NULLS FIRST and DuckDB NULLS LAST.
+
+    Scale shape: one window keyed on conv_id (bounded partitions — a
+    conversation is ~10^4 turns max) followed by a grammar-sized hash
+    aggregate; the output is |roles|² rows regardless of input size.
+    Analog of matric's metadata-composition audits re-targeted to
+    sequence grammars (R/sim_collate.R annotation discipline).
+    """
+    null_s = F.lit("\x1dnull")
+    role_s = F.coalesce(F.col("role"), null_s)
+    order_s = F.concat_ws(
+        "\x1f",
+        role_s,
+        F.coalesce(F.col("text"), null_s),
+        F.coalesce(F.col("tool"), null_s),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", order_s)
+    pairs = df.select(
+        F.coalesce(F.lag(role_s).over(w), F.lit("<start>")).alias("prev_role"),
+        role_s.alias("role"),
+    )
+    allowed_keys = sorted(f"{a}\x1f{b}" for a, b in allowed)
+    return (
+        pairs.groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "allowed",
+            F.concat_ws("\x1f", "prev_role", "role").isin(allowed_keys),
+        )
+    )
+
+
 def out_of_order_turns(df: DataFrame) -> DataFrame:
     """Rows whose ts is strictly below the max ts of any earlier turn
     (ordered by (turn_idx, ts) — the ts tie-break makes the preceding-max

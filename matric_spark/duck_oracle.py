@@ -812,6 +812,26 @@ SELECT doc_id, token, tf, df, (round(score, 6) + 0) AS score,
 FROM r WHERE "rank" <= {k}"""
 
 
+def doc_lm_score_sql() -> str:
+    """Mirrors operators/text_analysis.doc_lm_score: add-one-smoothed
+    corpus-unigram p(t), per-doc mean log-prob. Single long/long division
+    cast to double then ln() — the same op sequence Spark emits, so the
+    6dp round only has to absorb ln's ≤1-ulp libm-vs-JVM spread."""
+    norm = NORM.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS token FROM documents),
+pd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+ctf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM pd GROUP BY 1),
+tv AS (SELECT CAST(sum(ctf) AS BIGINT) AS t_total,
+              CAST(count(*) AS BIGINT) AS vocab FROM ctf)
+SELECT pd.doc_id, CAST(sum(pd.tf) AS BIGINT) AS n_tokens,
+       (round(sum(pd.tf * ln((ctf.ctf + 1) / CAST(tv.t_total + tv.vocab AS DOUBLE)))
+              / sum(pd.tf), 6) + 0) AS lm_logprob
+FROM pd JOIN ctf USING (token) CROSS JOIN tv
+GROUP BY 1"""
+
+
 def hash_uniform_sql(id_exprs: list[str], salt: str) -> str:
     """Mirrors operators/sampling.hash_uniform bit-for-bit: salted
     \\x1f-joined key (NULL components coalesced to the \\x1enull

@@ -177,6 +177,48 @@ def interval_join(
     )
 
 
+def rolling_stats(
+    events: DataFrame,
+    window_seconds: int = 7 * 86400,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event trailing-window aggregates (feature-engineering staple:
+    "activity in the last 7 days as of each event") ->
+    DataFrame[event_id, user_id, ts, roll_n, roll_sum, roll_mean].
+
+    Uses a RANGE frame over integer epoch-seconds, so the frame is
+    value-based: rows tying on the ordering key are peers and always
+    share a frame, making the result independent of intra-second tie
+    order. Epoch is floor(seconds) on both engines (Spark unix_timestamp
+    == DuckDB CAST(floor(epoch(ts)) AS BIGINT) with the session tz pinned
+    to UTC), so frame boundaries agree exactly despite microsecond ts.
+
+    Scale shape: one shuffle keyed on `partition_col`; each partition is
+    one user's history (bounded), sorted once, frames computed by the
+    JVM's sliding-window aggregator — no self-join, no |E|×|E| range
+    join. Skewed users fall to AQE.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy("_sec")
+        .rangeBetween(-window_seconds, 0)
+    )
+    return (
+        events.withColumn("_sec", sec)
+        .select(
+            "event_id",
+            partition_col,
+            ts_col,
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+            F.sum(value_col).over(w).alias("roll_sum"),
+            F.avg(value_col).over(w).alias("roll_mean"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user → one row per session:
     (user_id, session_id, n_events, session_start, session_end,

@@ -60,12 +60,20 @@ def _td_compress(means: np.ndarray, weights: np.ndarray, delta: int):
 
 
 def _td_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
-    """Interpolated quantile from centroid cumulative weights."""
+    """Interpolated quantile from centroid cumulative weights.
+
+    Rank convention: centroid i sits at the MEAN 0-indexed order-statistic
+    rank of its members, cum_i - (w_i + 1)/2, and the target is q·(n-1) —
+    the same linear-interpolation definition as SQL quantile_cont /
+    np.quantile. With singleton centroids (which the size bound forces at
+    the tails) this is exact, so digest and exact quantiles agree where
+    it matters most; the previous midpoint convention (cum - w/2 vs q·n)
+    was offset by ~1 rank, which a tail jump in the data amplifies."""
     n = weights.sum()
     if len(means) == 1:
         return float(means[0])
-    cum = np.cumsum(weights) - weights / 2
-    target = q * n
+    cum = np.cumsum(weights) - (weights + 1) / 2
+    target = q * (n - 1)
     return float(np.interp(target, cum, means))
 
 

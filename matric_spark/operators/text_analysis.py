@@ -225,6 +225,51 @@ def tfidf_topk(docs: DataFrame, k: int = 5, min_df: int = 1) -> DataFrame:
     ).filter(F.col("rank") <= k)
 
 
+def doc_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram LM quality score per document (the CCNet/KenLM
+    perplexity-filter pattern with the corpus itself as the LM) ->
+    DataFrame[doc_id, n_tokens, lm_logprob].
+
+    p(t) = (ctf_t + 1) / (T + V)  (add-one smoothing over corpus term
+    frequency T and vocab size V); lm_logprob is the per-token mean
+    log-probability — low values flag gibberish / far-out-of-distribution
+    docs, the standard cheap quality gate before training.
+
+    Scale shape: per-doc tf via one groupBy(doc_id, token) with map-side
+    combine; corpus totals (ctf table + the two scalars) are vocab-sized
+    and BROADCAST back; the per-doc reduce is a second hash aggregate.
+    No window, no join on the doc axis. ln() is evaluated identically on
+    identical doubles on both engines; the 6dp round absorbs the ≤1-ulp
+    libm-vs-JVM difference (same contract as the PSI oracle).
+    """
+    from matric_spark.operators.dedup import normalized_text
+
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ctf = per_doc.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    totals = ctf.agg(
+        F.sum("ctf").alias("t_total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logp = F.log(
+        (F.col("ctf") + 1) / (F.col("t_total") + F.col("vocab"))
+    )
+    return (
+        per_doc.join(F.broadcast(ctf), "token")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(F.col("tf") * logp) / F.sum("tf")).alias("lm_logprob"),
+        )
+    )
+
+
 def corpus_quality(docs: DataFrame) -> DataFrame:
     """Rollup of quality stats per (lang, source) — one hash aggregate."""
     scored = docs.select(

@@ -156,3 +156,50 @@ def test_verdicts(tiny_transcripts):
     assert status[(1, "null_text")] == "fail" and status[(2, "null_text")] == "pass"
     assert status[(1, "seq_order")] == "fail" and metric[(1, "seq_order")] == 1
     assert status[(1, "null_ts")] == "pass" and status[(2, "null_ts")] == "pass"
+
+
+def test_role_transitions_matrix(tiny_transcripts):
+    from matric_spark.checks.sequence import role_transitions
+
+    out = {
+        (r.prev_role, r.role): (r.n, r.allowed)
+        for r in role_transitions(tiny_transcripts).collect()
+    }
+    # conv A: <start>→system→user→assistant; conv B (ordered by turn_idx,
+    # ts): <start>→user→assistant→assistant→tool→user; conv C:
+    # <start>→moderator→assistant
+    assert out[("<start>", "system")] == (1, True)
+    assert out[("system", "user")] == (1, True)
+    assert out[("user", "assistant")] == (2, True)
+    assert out[("assistant", "tool")] == (1, True)
+    assert out[("tool", "user")] == (1, True)
+    assert out[("<start>", "user")] == (1, False)
+    assert out[("assistant", "assistant")] == (1, False)
+    assert out[("<start>", "moderator")] == (1, False)
+    assert out[("moderator", "assistant")] == (1, False)
+    assert len(out) == 9
+    assert sum(n for n, _ in out.values()) == 10  # one pair per row
+
+
+def test_role_transitions_null_role_sentinel(spark):
+    import datetime as dt
+
+    from matric_spark.checks.sequence import role_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("X", 0, "system", "s", None, t0),
+        ("X", 1, None, "mystery", None, t0),
+        ("X", 2, "user", "q", None, t0),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {(r.prev_role, r.role): r.allowed for r in role_transitions(d).collect()}
+    # a NULL role is the \x1dnull sentinel — distinct from '<start>' and
+    # from any real role, and never allowed by the grammar
+    assert out[("system", "\x1dnull")] is False
+    assert out[("\x1dnull", "user")] is False
+    assert out[("<start>", "system")] is True

@@ -328,3 +328,47 @@ def test_asof_join_matches_pandas_brute_force(spark):
         cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (k, ts, i)
+
+
+def test_rolling_stats_window_membership(spark):
+    from matric_spark.operators.events import rolling_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    d = dt.timedelta
+    rows = [
+        (1, t0, 10, "view", 1.0),
+        (2, t0 + d(days=3), 10, "view", 2.0),
+        (3, t0 + d(days=7), 10, "view", 4.0),     # exactly 7d after e1: in
+        (4, t0 + d(days=7, seconds=1), 10, "view", 8.0),  # e1 now out
+        (5, t0 + d(days=30), 10, "view", 16.0),   # alone in its window
+        (6, t0, 99, "view", 100.0),               # other user: independent
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = {r.event_id: r for r in rolling_stats(ev).collect()}
+    assert (out[1].roll_n, out[1].roll_sum) == (1, 1.0)
+    assert (out[2].roll_n, out[2].roll_sum) == (2, 3.0)
+    assert (out[3].roll_n, out[3].roll_sum) == (3, 7.0)   # inclusive 7d edge
+    assert (out[4].roll_n, out[4].roll_sum) == (3, 14.0)  # e1 aged out
+    assert (out[5].roll_n, out[5].roll_sum) == (1, 16.0)
+    assert (out[6].roll_n, out[6].roll_sum) == (1, 100.0)
+    assert out[3].roll_mean == pytest.approx(7.0 / 3)
+
+
+def test_rolling_stats_same_second_ties_are_peers(spark):
+    from matric_spark.operators.events import rolling_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=500)
+    # two events in the same integer second: RANGE frame makes them
+    # peers — each sees both, regardless of intra-second order
+    ev = spark.createDataFrame(
+        [(1, t0, 5, "view", 1.0), (2, t0 + us, 5, "view", 2.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = {r.event_id: r for r in rolling_stats(ev).collect()}
+    assert out[1].roll_n == 2 and out[2].roll_n == 2
+    assert out[1].roll_sum == out[2].roll_sum == 3.0

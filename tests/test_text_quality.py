@@ -179,3 +179,22 @@ def test_term_df_partial_agg_before_exchange(spark):
     d = spark.createDataFrame([(1, "x y x")], ["doc_id", "text"])
     plan = term_df(d)._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan, plan
+
+
+def test_doc_lm_score_closed_form(spark):
+    import math
+
+    from matric_spark.operators.text_analysis import doc_lm_score
+
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in doc_lm_score(d).collect()}
+    # ctf: a=3 b=1 c=1; T=5 V=3; p(a)=4/8 p(b)=p(c)=2/8
+    exp1 = (2 * math.log(0.5) + math.log(0.25)) / 3
+    exp2 = (math.log(0.5) + math.log(0.25)) / 2
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert out[1].lm_logprob == pytest.approx(exp1)
+    assert out[2].lm_logprob == pytest.approx(exp2)
+    # rarer-token doc scores lower (the quality-gate direction)
+    assert out[2].lm_logprob < out[1].lm_logprob
