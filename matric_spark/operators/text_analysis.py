@@ -60,13 +60,18 @@ def doc_langid(docs: DataFrame) -> DataFrame:
 def doc_fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """Content fingerprints: whole-doc hash of normalized text + the
     minimum shingle hash (a 1-permutation MinHash, the winnowing anchor)."""
+    from matric_spark.functions.hashing import shingles_of
+
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    shingle_hashes = F.transform(
-        word_shingles(norm, shingle_n), lambda s: md5_long(s)
+    staged = docs.select(
+        "doc_id", norm.alias("_norm"), F.split(norm, " ").alias("_toks")
     )
-    return docs.select(
+    shingle_hashes = F.transform(
+        shingles_of(F.col("_toks"), shingle_n), lambda s: md5_long(s)
+    )
+    return staged.select(
         "doc_id",
-        md5_long(norm).alias("content_fp"),
+        md5_long(F.col("_norm")).alias("content_fp"),
         F.array_min(shingle_hashes).alias("min_shingle_fp"),
     )
 
@@ -84,16 +89,18 @@ def doc_repetition(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)) -> DataFram
     100k-token document costs 100k rows, not 10^10 comparison ops.
     n=1 reuses the same machinery for word-level repetition (1 − TTR).
     """
-    from matric_spark.functions.hashing import word_shingles
+    from matric_spark.functions.hashing import shingles_of
     from matric_spark.operators.dedup import normalized_text
 
-    norm = normalized_text("text")
+    staged = docs.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("_toks")
+    )
     grams = None
     for n in ns:
-        g = docs.select(
+        g = staged.select(
             "doc_id",
             F.lit(n).alias("n"),
-            F.explode(word_shingles(norm, n)).alias("gram"),
+            F.explode(shingles_of(F.col("_toks"), n)).alias("gram"),
         )
         grams = g if grams is None else grams.unionByName(g)
     counts = grams.groupBy("doc_id", "n", "gram").agg(

@@ -203,3 +203,88 @@ def test_role_transitions_null_role_sentinel(spark):
     assert out[("system", "\x1dnull")] is False
     assert out[("\x1dnull", "user")] is False
     assert out[("<start>", "system")] is True
+
+
+def test_schema_conformance_statuses(spark):
+    from matric_spark.checks.schema_check import schema_conformance
+
+    d = spark.createDataFrame(
+        [("a", 1, 2.0)], "conv_id string, turn_idx long, bonus double"
+    )
+    expected = [
+        ("conv_id", "string"),   # ok
+        ("turn_idx", "int"),     # actual is long -> type_mismatch
+        ("role", "string"),      # absent -> missing
+    ]
+    out = {r.col: r for r in schema_conformance(spark, d, expected).collect()}
+    assert (out["conv_id"].status, out["conv_id"].ok) == ("ok", True)
+    assert out["turn_idx"].status == "type_mismatch"
+    assert out["turn_idx"].actual_type == "bigint"
+    assert out["role"].status == "missing" and out["role"].actual_type is None
+    assert out["bonus"].status == "extra" and out["bonus"].expected_type is None
+    assert not out["bonus"].ok and len(out) == 4
+
+
+def test_schema_conformance_ntz_canonicalized(spark):
+    import datetime as dt
+
+    from matric_spark.checks.schema_check import schema_conformance
+
+    d = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),)], "ts timestamp_ntz"
+    )
+    out = schema_conformance(spark, d, [("ts", "timestamp")]).collect()
+    assert out[0].status == "ok"
+
+
+def test_conv_near_dup_tapes(spark):
+    import datetime as dt
+
+    from matric_spark.checks.sequence import conversation_tapes
+    from matric_spark.operators.dedup import ngram_jaccard_pairs
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda conv, texts: [
+        (conv, i, "user", t, None, t0) for i, t in enumerate(texts)
+    ]
+    base = ["alpha beta gamma delta", "epsilon zeta eta theta"]
+    rows = (
+        mk("A", base)
+        + mk("B", base)                                  # exact dup of A
+        + mk("C", base[:1] + ["totally different words here"])
+        + mk("D", ["unrelated content entirely", "nothing shared at all"])
+    )
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    tapes = conversation_tapes(d).select(
+        F.col("conv_id").alias("doc_id"), F.col("tape").alias("text")
+    )
+    out = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(tapes, 0.05).collect()
+    }
+    assert out[("A", "B")] == 1.0            # identical tapes
+    # A and C share the first turn, but the tape glues turn boundaries
+    # into single "words" (delta\x1euser\x1f...), so only the shingles
+    # fully inside the shared prefix survive: 1 of 9 distinct
+    assert out[("A", "C")] == pytest.approx(1 / 9)
+    assert all("D" not in k for k in out)     # no shingles shared
+
+
+def test_conv_token_stats(tiny_transcripts):
+    from matric_spark.checks.sequence import conv_token_stats
+
+    out = {r.conv_id: r for r in conv_token_stats(tiny_transcripts, budget=4).collect()}
+    # conv A: "sys prompt"(2) + "hi"(1) + "hello"(1) = 4 ws tokens
+    assert out["A"].n_turns == 3 and out["A"].n_tokens == 4
+    assert out["A"].n_text_null == 0
+    assert out["A"].n_chars == len("sys prompt") + len("hi") + len("hello")
+    # conv B has one null text: counted in n_text_null, 0 in the sums
+    assert out["B"].n_text_null == 1
+    assert out["B"].n_tokens == 4  # "q", "a1", "a1-dup", "out" → 1 each
+    assert out["B"].n_turns == 5
+    # budget flag is on bpe tokens
+    assert out["A"].over_budget == (out["A"].n_bpe_tokens > 4)
