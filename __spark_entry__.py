@@ -737,11 +737,17 @@ def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01 the corpus has 12.4M pair-sharing-a-shingle candidates at
     jaccard < 0.1 and only ~90 true near-dups — a df cutoff loose
     enough to keep recall (737) admits all 12.4M, and the blowup grows
-    quadratically with scale. Banded signatures (rows=3, bands=16 →
-    P[candidate] = 1-(1-j³)¹⁶: 0.002 at j=0.05, 0.88 at j=0.5) cut
-    candidates ~350× while keeping ≥~0.9 recall at the 0.5 threshold;
-    both engines run the same deterministic pipeline, so the oracle
-    parity is exact irrespective of LSH recall."""
+    quadratically with scale. Banded signatures at the TEXTBOOK
+    parametrization — S-curve midpoint (1/bands)^(1/rows) on the
+    threshold: rows=5, bands=25 → midpoint 0.525, P[candidate] =
+    1-(1-j⁵)²⁵ = 0.008 at j=0.2, 0.059 at j=0.3, 0.55 at j=0.5, 0.96
+    at j=0.7. Template tapes cluster at j≈0.2-0.4, so a midpoint below
+    the threshold over-accepts that band quadratically: rows=3×bands=16
+    (midpoint 0.40) took 42.7 s at sf0.1, rows=4×bands=32 (0.42) left
+    3.0M candidates for 66k emitted pairs (29.6 s); this setting cuts
+    to ~0.9M candidates, 21.5 s, at the classic 50%-acceptance-at-
+    threshold recall trade. Both engines run the same deterministic
+    pipeline, so oracle parity is exact irrespective of LSH recall."""
     from matric_spark.checks.sequence import conversation_tapes
     from matric_spark.operators.dedup import minhash_lsh_pairs
 
@@ -749,7 +755,7 @@ def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_id").alias("doc_id"), F.col("tape").alias("text")
     )
     return _round6(
-        minhash_lsh_pairs(tapes, threshold=0.5, num_hashes=48, bands=16),
+        minhash_lsh_pairs(tapes, threshold=0.5, num_hashes=125, bands=25),
         ["jaccard"],
     )
 
@@ -1340,8 +1346,8 @@ FROM transcripts GROUP BY 1"""
 
     sql["conv_near_dup"] = dk.minhash_lsh_sql(
         0.5,
-        num_hashes=48,
-        bands=16,
+        num_hashes=125,
+        bands=25,
         src="tapes",
         extra_ctes=(
             f"transcripts AS ({TRANSCRIPT_VIEW_SQL}),\n{_TAPE_CTES},\n"
