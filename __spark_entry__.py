@@ -206,6 +206,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup: every 5th doc plays the freshly-crawled batch,
+    the rest the existing training corpus; emit (new_id, ref_id, jaccard)
+    for cross-set near-dups at the corpus threshold (same 32×8 LSH
+    parametrization as dedup_minhash_lsh). Exact dups surface at 1.0."""
+    from matric_spark.operators.dedup import minhash_lsh_pairs_against
+
+    docs = _docs(spark, sf_dir)
+    return _round6(
+        minhash_lsh_pairs_against(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            docs.filter(F.col("doc_id") % 5 != 0),
+            threshold=0.1,
+        ),
+        ["jaccard"],
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.ann import embedding_near_dup
 
@@ -892,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_incremental": q_dedup_incremental,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_lsh_soundness": q_emb_lsh_soundness,
@@ -1209,6 +1228,7 @@ SELECT part, 'drift_psi', (round(psi, 6) + 0),
     sql["dedup_ngram_jaccard"] = dk.ngram_jaccard_sql(0.1)
     sql["dedup_minhash_lsh"] = dk.minhash_lsh_sql(0.1)
     sql["dedup_simhash"] = dk.simhash_pairs_sql(12)
+    sql["dedup_incremental"] = dk.minhash_lsh_cross_sql(0.1, "doc_id % 5 = 0")
     sql["emb_near_dup"] = dk.embedding_near_dup_sql(0.4)
     sql["ann_topk"] = dk.ann_topk_sql(5, 10)
     # dedup_exact_text runs on the shared transcript view

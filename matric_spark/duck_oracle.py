@@ -238,6 +238,64 @@ cand AS (
 SELECT id1, id2, (round(jaccard, 6) + 0) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
 
 
+def minhash_lsh_cross_sql(
+    threshold: float,
+    new_pred: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    src: str = "documents",
+) -> str:
+    """Cross-set twin of minhash_lsh_sql: docs satisfying `new_pred` (a
+    predicate on doc_id) vs the rest. Mirrors
+    operators/dedup.minhash_lsh_pairs_against — same signatures, same
+    band hashes, candidates only across the split."""
+    params = minhash_params(num_hashes, seed=seed)
+    rows = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {HASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_cols = ", ".join(
+        hexbig(
+            "concat_ws(',', "
+            + ", ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            + ")"
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_sets_sql(n, src)},
+sig AS (SELECT doc_id,
+         {mins}
+        FROM sets GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest(range({bands})) AS band_idx,
+         unnest([{band_cols}]) AS band_hash
+  FROM sig),
+cand AS (
+  SELECT DISTINCT x.doc_id new_id, y.doc_id ref_id
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+  WHERE (x.{new_pred}) AND NOT (y.{new_pred})),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sets GROUP BY 1),
+shared AS (
+  SELECT c.new_id, c.ref_id, CAST(count(*) AS BIGINT) shared
+  FROM cand c JOIN sets a ON a.doc_id = c.new_id
+              JOIN sets b ON b.doc_id = c.ref_id AND b.h = a.h
+  GROUP BY 1, 2),
+jac AS (
+  SELECT s.new_id, s.ref_id,
+         s.shared / CAST(x.n + y.n - s.shared AS DOUBLE) AS jaccard
+  FROM shared s JOIN sizes x ON x.doc_id = s.new_id
+                JOIN sizes y ON y.doc_id = s.ref_id)
+SELECT new_id, ref_id, (round(jaccard, 6) + 0) AS jaccard
+FROM jac WHERE jaccard >= {threshold}"""
+
+
 def simhash_pairs_sql(max_hamming: int = 12, chunks: int = 4) -> str:
     norm = NORM.format(col="text")
     bit_sums = ",\n         ".join(

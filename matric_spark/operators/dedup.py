@@ -279,6 +279,23 @@ def minhash_lsh_pairs(
     # shared by the signature build AND the verification join
     sets = shingle_sets(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, seed=seed, sets=sets)
+    banded = _banded(sig, rows, bands)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
+        )
+        .distinct()
+    )
+    return _jaccard_for_pairs(cand, sets).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _banded(sig: DataFrame, rows: int, bands: int) -> DataFrame:
+    """DataFrame[doc_id, band_idx, band_hash] from an mh_* signature."""
     band_hashes = F.array(
         *[
             md5_long(
@@ -293,20 +310,83 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
+
+
+def minhash_lsh_pairs_against(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    threshold: float = 0.1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental (cross-set) near-dup: for each NEW doc, the REFERENCE
+    docs with shingle Jaccard >= threshold → [new_id, ref_id, jaccard].
+
+    The op a crawl pipeline runs on every ingest batch: drop fresh
+    documents that near-duplicate the existing training corpus. Exact
+    duplicates come out for free at jaccard 1.0 (identical text →
+    identical signature → every band collides).
+
+    Scale shape: the reference side's banded relation is a pure function
+    of the corpus — at 100 TB it is computed ONCE, written bucketed by
+    (band_idx, band_hash), and every ingest batch equi-joins its (small)
+    banded signatures against it; candidates exchange only id pairs, and
+    the exact-Jaccard verify joins just the candidate set back to the
+    two shingle relations. Nothing is O(|new| x |ref|).
+
+    Id spaces are the caller's concern: a doc present on both sides
+    under the same id will be reported as its own near-dup.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    from pyspark import StorageLevel
+
+    sets_new = shingle_sets(new_docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sets_ref = shingle_sets(ref_docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_new = minhash_signatures(
+        new_docs, num_hashes=num_hashes, n=n, seed=seed, sets=sets_new
+    )
+    sig_ref = minhash_signatures(
+        ref_docs, num_hashes=num_hashes, n=n, seed=seed, sets=sets_ref
+    )
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band_idx", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
+        _banded(sig_new, rows, bands)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            _banded(sig_ref, rows, bands).withColumnRenamed("doc_id", "ref_id"),
+            ["band_idx", "band_hash"],
         )
+        .select("new_id", "ref_id")
         .distinct()
     )
-    return _jaccard_for_pairs(cand, sets).filter(
-        F.col("jaccard") >= threshold
+    sizes_new = sets_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n1"))
+    sizes_ref = sets_ref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n2"))
+    shared = (
+        cand.join(sets_new.withColumnsRenamed({"doc_id": "new_id"}), "new_id")
+        .join(
+            sets_ref.withColumnsRenamed({"doc_id": "ref_id"}),
+            ["ref_id", "h"],
+        )
+        .groupBy("new_id", "ref_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes_new.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(sizes_ref.withColumnRenamed("doc_id", "ref_id"), "ref_id")
+        .select(
+            "new_id",
+            "ref_id",
+            (
+                F.col("shared")
+                / (F.col("n1") + F.col("n2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

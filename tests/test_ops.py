@@ -62,6 +62,25 @@ def test_minhash_lsh_finds_near_dups(spark, tiny_docs):
     assert lsh == exact and (0, 1) in lsh
 
 
+def test_minhash_lsh_against_cross_set(spark, tiny_docs):
+    """Incremental dedup: new batch = docs {1, 2, 3}, corpus = {0, 4}.
+    1 is an exact dup of 0/4 (j=1.0), 2 a near-dup of both (8/9), 3
+    unrelated — and within-batch pairs (1,2) must NOT appear."""
+    from matric_spark.operators.dedup import minhash_lsh_pairs_against
+
+    new = tiny_docs.filter(F.col("doc_id").isin(1, 2, 3))
+    ref = tiny_docs.filter(F.col("doc_id").isin(0, 4))
+    out = {
+        (r.new_id, r.ref_id): r.jaccard
+        for r in minhash_lsh_pairs_against(new, ref, threshold=0.05).collect()
+    }
+    assert out[(1, 0)] == pytest.approx(1.0)
+    assert out[(1, 4)] == pytest.approx(1.0)
+    assert out[(2, 0)] == pytest.approx(8 / 9)
+    assert all(nid != 3 for nid, _ in out)      # unrelated new doc clean
+    assert all(rid in (0, 4) for _, rid in out)  # no within-batch pairs
+
+
 def test_simhash_identical_docs_distance_zero(spark, tiny_docs):
     from matric_spark.operators.dedup import simhash, simhash_pairs
 
