@@ -356,6 +356,14 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(planted)
 
 
+def q_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter cascade audit: per-doc rule
+    verdicts + keep decision + reason codes, one narrow scan."""
+    from matric_spark.operators.text_analysis import filter_report
+
+    return _round6(filter_report(_docs(spark, sf_dir)), ["ttr"])
+
+
 def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: per-token document frequency + total tf."""
     from matric_spark.operators.text_analysis import term_df
@@ -829,6 +837,25 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGETS = {"en": 6000.0, "de": 2000.0, "es": 2000.0, "fr": 8000.0, "zh": 1000.0}
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per-language BPE-token budgets → keep
+    rates min(1, budget/total) → deterministic hash sample. fr's budget
+    exceeds its corpus (rate clamps to 1), the rest downsample."""
+    from matric_spark.functions.text import bpe_token_count
+    from matric_spark.operators.sampling import token_budget_mix
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", bpe_token_count("text").alias("n_tokens")
+    )
+    out = token_budget_mix(d, ["doc_id"], "lang", _MIX_BUDGETS)
+    return _round6(
+        out.select("doc_id", "lang", "n_tokens", "mix_rate"), ["mix_rate"]
+    )
+
+
 def q_doc_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.sampling import stratified_hash_sample
 
@@ -950,10 +977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "doc_repetition": q_doc_repetition,
         "pii_scrub": q_pii_scrub,
+        "filter_report": q_filter_report,
         "term_df": q_term_df,
         "tfidf_topk": q_tfidf_topk,
         "conv_fingerprint": q_conv_fingerprint,
         "doc_split_assign": q_doc_split_assign,
+        "corpus_mix": q_corpus_mix,
         "doc_sample_strat": q_doc_sample_strat,
         "text_parity": q_text_parity,
         "fk_summary": q_fk_summary,
@@ -1335,6 +1364,7 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
     sql["pack_chunks"] = dk.pack_chunks_sql(512, "lang")
     sql["doc_repetition"] = dk.doc_repetition_sql((1, 2, 3))
     sql["pii_scrub"] = dk.pii_scrub_sql(plant=True)
+    sql["filter_report"] = dk.filter_report_sql()
     sql["term_df"] = dk.term_df_sql(2)
     sql["tfidf_topk"] = dk.tfidf_topk_sql(5, 1)
 
@@ -1381,6 +1411,22 @@ FROM documents"""
     _strat_case = " ".join(
         f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_STRAT_FRACS.items())
     )
+    _mix_case = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_MIX_BUDGETS.items())
+    )
+    sql["corpus_mix"] = f"""
+WITH d AS (SELECT doc_id, lang,
+                  CAST(len(regexp_extract_all(text, {dk.BPE_REGEXP})) AS BIGINT)
+                      AS n_tokens
+           FROM documents),
+r AS (SELECT lang,
+             least(1.0, (CASE lang {_mix_case} ELSE 0.0 END)
+                        / CAST(sum(n_tokens) AS DOUBLE)) AS mix_rate
+      FROM d GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_tokens, (round(r.mix_rate, 6) + 0) AS mix_rate
+FROM d JOIN r USING (lang)
+WHERE {dk.hash_uniform_sql(['doc_id'], 'mix-v1')} < r.mix_rate"""
+
     sql["doc_sample_strat"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE {dk.hash_uniform_sql(['doc_id'], 'sample-v1')}

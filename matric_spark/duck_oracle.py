@@ -731,6 +731,49 @@ least(1.0, len({toks}) / 50.0)
      ELSE 0.0 END))"""
 
 
+def filter_report_sql(
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    token_len_range: tuple[float, float] = (2.0, 12.0),
+    max_punct: float = 0.3,
+    min_ttr: float = 0.2,
+    min_quality: float = 0.2,
+) -> str:
+    """Mirrors operators/text_analysis.filter_report: same signal
+    expressions (identical float op order), same fixed rule order,
+    concat_ws skipping non-fired rules on both engines."""
+    toks = TOKS.format(col="text")
+    q = QUALITY_EXPR.format(toks="toks", stop=_sql_list(STOPWORDS), col="text")
+    lo, hi = token_len_range
+    return f"""
+WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents
+           WHERE text IS NOT NULL),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+               / len(toks) AS avg_len,
+             len(list_distinct(toks)) / len(toks) AS ttr,
+             CASE WHEN length(text) > 0 THEN
+               (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))
+               / length(text)
+             ELSE 0.0 END AS pr,
+             {q} AS quality
+      FROM t),
+r AS (SELECT doc_id, n_tokens, ttr,
+             concat_ws(',',
+                 CASE WHEN n_tokens < {min_tokens} THEN 'too_short' END,
+                 CASE WHEN n_tokens > {max_tokens} THEN 'too_long' END,
+                 CASE WHEN avg_len < {lo} OR avg_len > {hi} THEN 'token_len' END,
+                 CASE WHEN pr > {max_punct} THEN 'punct' END,
+                 CASE WHEN ttr < {min_ttr} THEN 'repetitive' END,
+                 CASE WHEN quality < {min_quality} THEN 'low_quality' END
+             ) AS reasons
+      FROM m)
+SELECT doc_id, n_tokens, (round(ttr, 6) + 0) AS ttr,
+       reasons = '' AS kept, reasons
+FROM r"""
+
+
 def cluster_canonical_sql(threshold: float = 0.1, n: int = 3) -> str:
     """Mirrors operators/corpus.cluster_canonical over the ngram-Jaccard
     clusters: per cluster, best quality wins (doc_id asc tie-break)."""

@@ -95,6 +95,46 @@ def hash_sample(
     return df.filter(hash_uniform(id_cols, salt) < F.lit(fraction))
 
 
+def token_budget_mix(
+    df: DataFrame,
+    id_cols: list[str],
+    strata_col: str,
+    budgets: dict[str, float],
+    tokens_col: str = "n_tokens",
+    salt: str = "mix-v1",
+    rate_col: str = "mix_rate",
+) -> DataFrame:
+    """Deterministic data mixing: sample each stratum at the rate that
+    hits its TOKEN budget — keep-rate = min(1, budget / total_tokens) —
+    the corpus-mixture stage that turns per-domain/language token
+    targets (DoReMi/Pile-style mixture weights × total budget) into a
+    reproducible document sample.
+
+    One tiny aggregate (stratum → token total, a handful of rows)
+    broadcast back onto the corpus, then the same salted-hash filter as
+    `hash_sample` — the big table is never shuffled, and the draw is
+    row-order independent. The expected sampled token count per stratum
+    is its budget (exact only in expectation: whole documents are kept
+    or dropped). Strata without a budget get rate 0.
+    """
+    b = F.lit(0.0)
+    for value, budget in sorted(budgets.items()):
+        b = F.when(F.col(strata_col) == value, float(budget)).otherwise(b)
+    rates = (
+        df.groupBy(strata_col)
+        .agg(F.sum(tokens_col).alias("_total"))
+        .select(
+            strata_col,
+            F.least(F.lit(1.0), b / F.col("_total").cast("double")).alias(
+                rate_col
+            ),
+        )
+    )
+    return df.join(F.broadcast(rates), strata_col).filter(
+        hash_uniform(id_cols, salt) < F.col(rate_col)
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_cols: list[str],

@@ -117,6 +117,80 @@ def doc_repetition(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)) -> DataFram
     )
 
 
+def filter_report(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    token_len_range: tuple[float, float] = (2.0, 12.0),
+    max_punct: float = 0.3,
+    min_ttr: float = 0.2,
+    min_quality: float = 0.2,
+) -> DataFrame:
+    """Quality-filter cascade audit (the C4/Gopher rule family): per doc,
+    every rule's verdict, the overall keep decision, and a comma-joined
+    reason string for failures →
+    DataFrame[doc_id, n_tokens, ttr, kept, reasons].
+
+    Rules: too_short / too_long (token count), token_len (mean token
+    length outside `token_len_range`), punct (punctuation ratio), and
+    repetitive (type-token ratio below `min_ttr` — the narrow proxy for
+    word-level repetition; use doc_repetition for the exact n-gram
+    fractions), low_quality (composite score).
+
+    Scale shape: ONE narrow projection — every signal is computed from
+    the row's own text (no explode, no shuffle, no join), so the audit
+    runs at scan speed and pushes the doc_id/text column pruning into
+    the parquet reader. reasons uses concat_ws, which skips NULL
+    components on both engines, so the reason order is the fixed rule
+    order with failures only.
+    """
+    from matric_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        token_count,
+        tokens,
+    )
+
+    toks = tokens("text")
+    n = token_count("text")
+    avg_len = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size(toks)
+    )
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    pr = punct_ratio("text")
+    q = quality_score("text")
+    lo, hi = token_len_range
+    rules = [
+        ("too_short", n < F.lit(min_tokens)),
+        ("too_long", n > F.lit(max_tokens)),
+        ("token_len", (avg_len < F.lit(lo)) | (avg_len > F.lit(hi))),
+        ("punct", pr > F.lit(max_punct)),
+        ("repetitive", ttr < F.lit(min_ttr)),
+        ("low_quality", q < F.lit(min_quality)),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    staged = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ttr.alias("ttr"),
+        reasons.alias("reasons"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        (F.col("reasons") == "").alias("kept"),
+        "reasons",
+    )
+
+
 #: PII patterns — deliberately lookahead/backreference-free so Java regex
 #: (Spark) and RE2 (the DuckDB oracle) agree on every match. Counts are
 #: taken on the ORIGINAL text per pattern independently; redaction is

@@ -151,6 +151,29 @@ def test_hash_sample_fraction_and_subset(spark):
     assert s5.exceptAll(s10).count() == 0
 
 
+def test_token_budget_mix_rates_and_expectation(spark):
+    from matric_spark.operators.sampling import token_budget_mix
+
+    # 2000 docs of 10 tokens each per lang → 20k tokens per stratum
+    rows = [(i, "en" if i % 2 else "de", 10) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = token_budget_mix(
+        df, ["doc_id"], "lang", {"en": 5000.0, "de": 40000.0}
+    )
+    rates = {r["lang"]: r["mix_rate"] for r in
+             out.select("lang", "mix_rate").distinct().collect()}
+    assert rates["de"] == 1.0                      # budget > corpus → clamp
+    assert rates["en"] == pytest.approx(0.25)      # 5k of 20k tokens
+    kept = {r["lang"]: r["n"] for r in
+            out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept["de"] == 2000                      # rate 1 keeps everything
+    # expected sampled tokens = budget: 500 docs ≈ 5000 tokens
+    assert 380 < kept["en"] < 620
+    # unbudgeted strata drop entirely
+    df2 = df.withColumn("lang", F.lit("fr"))
+    assert token_budget_mix(df2, ["doc_id"], "lang", {"en": 1.0}).count() == 0
+
+
 def test_stratified_sample_per_stratum(spark):
     rows = [(i, "en" if i % 2 else "de") for i in range(4000)]
     df = spark.createDataFrame(rows, ["doc_id", "lang"])

@@ -198,3 +198,25 @@ def test_doc_lm_score_closed_form(spark):
     assert out[2].lm_logprob == pytest.approx(exp2)
     # rarer-token doc scores lower (the quality-gate direction)
     assert out[2].lm_logprob < out[1].lm_logprob
+
+
+def test_filter_report_rules_and_reasons(spark):
+    from matric_spark.operators.text_analysis import filter_report
+
+    rows = [
+        (1, "one two"),                                  # too_short (2 toks)
+        (2, " ".join(f"w{i}" for i in range(100))),      # clean long doc
+        (3, " ".join(["dup"] * 50)),                     # repetitive: ttr .02
+        (4, "!!! ... ;;; " * 10 + "a b c d e f"),        # punct-heavy
+        (5, "supercalifragilisticexpialidocious " * 10 + "a b c d"),  # token_len
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in filter_report(df).collect()}
+    assert not out[1].kept and "too_short" in out[1].reasons
+    assert out[2].kept and out[2].reasons == ""
+    assert not out[3].kept and "repetitive" in out[3].reasons
+    assert out[3].ttr == pytest.approx(1 / 50)
+    assert not out[4].kept and "punct" in out[4].reasons
+    assert not out[5].kept and "token_len" in out[5].reasons
+    # short docs also trip the quality composite
+    assert "low_quality" in out[1].reasons
