@@ -806,6 +806,15 @@ def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_transitions(transcript_df(spark, sf_dir))
 
 
+def q_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level verdicts: per conv_id, violation counts per
+    constraint family + pass decision + reason codes (the per-entity
+    complement of the per-partition `verdicts` suite)."""
+    from matric_spark.checks.sequence import conv_verdicts
+
+    return conv_verdicts(transcript_df(spark, sf_dir))
+
+
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM mean log-prob per doc (perplexity-filter
     pattern)."""
@@ -970,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_conformance": q_schema_conformance,
         "conv_near_dup": q_conv_near_dup,
         "conv_token_stats": q_conv_token_stats,
+        "conv_verdicts": q_conv_verdicts,
         "doc_lm_score": q_doc_lm_score,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
@@ -1169,6 +1179,52 @@ SELECT coalesce(prev, '<start>') AS prev_role, role_s AS role,
 FROM o GROUP BY 1, 2"""
 
     sql["doc_lm_score"] = dk.doc_lm_score_sql()
+
+    _tk_bpe = f"len(regexp_extract_all(text, {dk.BPE_REGEXP}))"
+    sql["conv_verdicts"] = f"""{_T},
+o AS (SELECT conv_id, turn_idx, ts, role, tool, text,
+             coalesce(role, {_null_s}) AS role_s,
+             lag(coalesce(role, {_null_s})) OVER w AS prev,
+             max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, {_order_s}
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM transcripts
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, {_order_s})),
+f AS (SELECT conv_id, turn_idx,
+             CASE WHEN role IS NULL OR role NOT IN ({_ROLES}) THEN 1 ELSE 0 END AS role_bad,
+             CASE WHEN tool IS NOT NULL AND tool NOT IN ({_TOOLS}) THEN 1 ELSE 0 END AS tool_bad,
+             CASE WHEN (coalesce(prev, '<start>') || chr(31) || role_s) NOT IN ({_grammar})
+                  THEN 1 ELSE 0 END AS grammar_bad,
+             CASE WHEN ts < prev_max THEN 1 ELSE 0 END AS ooo,
+             CASE WHEN text IS NULL THEN 1 ELSE 0 END AS text_null,
+             CASE WHEN text IS NULL THEN 0 ELSE {_tk_bpe} END AS bpe
+      FROM o),
+g AS (SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_keys,
+             min(turn_idx) AS min_turn, max(turn_idx) AS max_turn,
+             CAST(sum(role_bad) AS BIGINT) AS n_role_viol,
+             CAST(sum(tool_bad) AS BIGINT) AS n_tool_viol,
+             CAST(sum(grammar_bad) AS BIGINT) AS n_grammar_viol,
+             CAST(sum(ooo) AS BIGINT) AS n_ooo,
+             CAST(sum(text_null) AS BIGINT) AS n_text_null,
+             CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens
+      FROM f GROUP BY 1),
+r AS (SELECT *,
+             concat_ws(',',
+                 CASE WHEN n_turns <> n_keys THEN 'dup_keys' END,
+                 CASE WHEN NOT (min_turn = 0 AND max_turn = n_keys - 1
+                                AND n_turns = n_keys) THEN 'non_contiguous' END,
+                 CASE WHEN n_role_viol > 0 THEN 'role_domain' END,
+                 CASE WHEN n_tool_viol > 0 THEN 'tool_domain' END,
+                 CASE WHEN n_grammar_viol > 0 THEN 'grammar' END,
+                 CASE WHEN n_ooo > 0 THEN 'out_of_order' END,
+                 CASE WHEN n_text_null > 0 THEN 'null_text' END,
+                 CASE WHEN n_bpe_tokens > 256 THEN 'over_budget' END
+             ) AS reasons
+      FROM g)
+SELECT conv_id, n_turns, n_role_viol, n_tool_viol, n_grammar_viol,
+       n_ooo, n_text_null, n_bpe_tokens, reasons, reasons = '' AS ok
+FROM r"""
 
     # Schema oracle: DuckDB independently DESCRIBEs the derived view and
     # normalizes its type names to Spark simpleString vocabulary — a real

@@ -200,6 +200,119 @@ def conv_token_stats(df: DataFrame, budget: int = 256) -> DataFrame:
     )
 
 
+def conv_verdicts(
+    df: DataFrame,
+    role_domain: list[str] | None = None,
+    tool_domain: list[str] | None = None,
+    grammar: frozenset[tuple[str, str]] = DEFAULT_ROLE_GRAMMAR,
+    token_budget: int = 256,
+) -> DataFrame:
+    """Conversation-level verdict table: per conv_id, every constraint
+    family's violation count, the overall pass decision, and a
+    comma-joined reason string → DataFrame[conv_id, n_turns,
+    n_role_viol, n_tool_viol, n_grammar_viol, n_ooo, n_text_null,
+    n_bpe_tokens, ok, reasons].
+
+    The per-entity complement of the per-partition suite
+    (checks/suite.run_verdicts): the same constraint families — key
+    uniqueness/contiguity, role/tool domains, role-transition grammar,
+    timestamp monotonicity, null text, token budget — scored per
+    conversation, the granularity a curation pipeline filters on.
+
+    Scale shape: one window keyed on conv_id (lag(role) + preceding-max
+    ts in the same frame spec) feeding one hash aggregate on the SAME
+    key, so the exchange introduced by the window is reused by the
+    aggregate — a single shuffle end to end, partitions bounded by
+    conversation length (~10^4 turns).
+
+    Reason codes, fixed order: dup_keys, non_contiguous, role_domain,
+    tool_domain, grammar, out_of_order, null_text, over_budget.
+    """
+    from matric_spark.functions.text import bpe_token_count
+    from matric_spark.schema import DEFAULT_ROLE_DOMAIN, DEFAULT_TOOL_DOMAIN
+
+    role_domain = role_domain or list(DEFAULT_ROLE_DOMAIN)
+    tool_domain = tool_domain or list(DEFAULT_TOOL_DOMAIN)
+
+    null_s = F.lit("\x1dnull")
+    role_s = F.coalesce(F.col("role"), null_s)
+    order_s = F.concat_ws(
+        "\x1f",
+        role_s,
+        F.coalesce(F.col("text"), null_s),
+        F.coalesce(F.col("tool"), null_s),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", order_s)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    allowed_keys = sorted(f"{a}\x1f{b}" for a, b in grammar)
+
+    flagged = df.select(
+        "conv_id",
+        "turn_idx",
+        (F.col("role").isNull() | ~F.col("role").isin(role_domain)).alias(
+            "_role_bad"
+        ),
+        (F.col("tool").isNotNull() & ~F.col("tool").isin(tool_domain)).alias(
+            "_tool_bad"
+        ),
+        (
+            ~F.concat_ws(
+                "\x1f",
+                F.coalesce(F.lag(role_s).over(w), F.lit("<start>")),
+                role_s,
+            ).isin(allowed_keys)
+        ).alias("_grammar_bad"),
+        (F.col("ts") < F.max("ts").over(w_prev)).alias("_ooo"),
+        F.col("text").isNull().alias("_text_null"),
+        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
+        .otherwise(bpe_token_count("text"))
+        .alias("_bpe"),
+    )
+    g = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_distinct("turn_idx").alias("_n_keys"),
+        F.min("turn_idx").alias("_min_turn"),
+        F.max("turn_idx").alias("_max_turn"),
+        F.sum(F.col("_role_bad").cast("long")).alias("n_role_viol"),
+        F.sum(F.col("_tool_bad").cast("long")).alias("n_tool_viol"),
+        F.sum(F.col("_grammar_bad").cast("long")).alias("n_grammar_viol"),
+        F.sum(F.coalesce(F.col("_ooo"), F.lit(False)).cast("long")).alias(
+            "n_ooo"
+        ),
+        F.sum(F.col("_text_null").cast("long")).alias("n_text_null"),
+        F.sum("_bpe").alias("n_bpe_tokens"),
+    )
+    contiguous = (
+        (F.col("_min_turn") == 0)
+        & (F.col("_max_turn") == F.col("_n_keys") - 1)
+        & (F.col("n_turns") == F.col("_n_keys"))
+    )
+    rules = [
+        ("dup_keys", F.col("n_turns") != F.col("_n_keys")),
+        ("non_contiguous", ~contiguous),
+        ("role_domain", F.col("n_role_viol") > 0),
+        ("tool_domain", F.col("n_tool_viol") > 0),
+        ("grammar", F.col("n_grammar_viol") > 0),
+        ("out_of_order", F.col("n_ooo") > 0),
+        ("null_text", F.col("n_text_null") > 0),
+        ("over_budget", F.col("n_bpe_tokens") > token_budget),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "n_role_viol",
+        "n_tool_viol",
+        "n_grammar_viol",
+        "n_ooo",
+        "n_text_null",
+        "n_bpe_tokens",
+        reasons.alias("reasons"),
+    ).withColumn("ok", F.col("reasons") == "")
+
+
 def out_of_order_turns(df: DataFrame) -> DataFrame:
     """Rows whose ts is strictly below the max ts of any earlier turn
     (ordered by (turn_idx, ts) — the ts tie-break makes the preceding-max

@@ -274,6 +274,26 @@ def test_conv_near_dup_tapes(spark):
     assert all("D" not in k for k in out)     # no shingles shared
 
 
+def test_conv_verdicts_reason_codes(tiny_transcripts):
+    from matric_spark.checks.sequence import conv_verdicts
+
+    out = {r.conv_id: r for r in conv_verdicts(tiny_transcripts).collect()}
+    a, b, c = out["A"], out["B"], out["C"]
+    assert a.ok and a.reasons == ""
+    assert not b.ok
+    for code in ("dup_keys", "non_contiguous", "grammar", "out_of_order",
+                 "null_text"):
+        assert code in b.reasons
+    assert b.n_ooo == 1 and b.n_text_null == 1
+    # B opens with user (not system) + assistant->assistant dup transition
+    assert b.n_grammar_viol == 2
+    assert not c.ok
+    for code in ("non_contiguous", "role_domain", "tool_domain", "grammar"):
+        assert code in c.reasons
+    assert "dup_keys" not in c.reasons
+    assert c.n_role_viol == 1 and c.n_tool_viol == 1
+
+
 def test_conv_token_stats(tiny_transcripts):
     from matric_spark.checks.sequence import conv_token_stats
 

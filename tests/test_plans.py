@@ -302,3 +302,25 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "_b" in p  # joined through the bucket column
+
+
+def test_conv_verdicts_single_shuffle(spark):
+    """conv_verdicts' window (lag + preceding-max) and the per-conv
+    aggregate must share ONE hashpartitioning exchange on conv_id —
+    the aggregate reuses the window's distribution."""
+    import datetime as dt
+
+    from matric_spark.checks.sequence import conv_verdicts
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(f"c{i % 5}", i // 5, "user", "t", None,
+          t0 + dt.timedelta(seconds=i)) for i in range(50)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    p = plan(conv_verdicts(df))
+    import re
+
+    n_exchanges = len(re.findall(r"\n\(\d+\) Exchange\b", p))
+    assert n_exchanges == 1, p
