@@ -182,3 +182,58 @@ def test_windowed_rates_monitor(spark, staged_stream_dir):
     assert sum(r.null_text for r in got) == 1
     assert sum(r.bad_role for r in got) == 1
     assert all(r.window.start is not None for r in got)
+
+
+def test_stream_dedup_first_arrival(spark, tmp_path):
+    """Differential: streaming within-watermark dedup keeps exactly the
+    batch exact-dedup representatives — first arrival per content
+    fingerprint — across micro-batch boundaries."""
+    import datetime as dt
+
+    from matric_spark.streaming.dedup import stream_dedup
+
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+
+    def doc(i, minutes, text):
+        return (i, t0 + dt.timedelta(minutes=minutes), text)
+
+    ddl = "doc_id long, ts timestamp, text string"
+    batches = [
+        [doc(1, 0, "alpha beta"), doc(2, 1, "gamma delta"),
+         doc(3, 2, "  Alpha   BETA ")],          # 3 dups 1 after normalize
+        [doc(4, 3, "alpha beta"),                 # cross-batch dup of 1
+         doc(5, 4, "epsilon zeta")],
+        [doc(6, 5, "gamma delta"), doc(7, 6, "eta theta")],  # dup of 2
+    ]
+    d = str(tmp_path / "docs_in")
+    for rows in batches:
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.doc_id for r in spark.sql("select doc_id from dedup_test").collect()
+    )
+    assert got == [1, 2, 5, 7]
+    # fingerprints in the output match the batch operator's keys
+    fps = {r.doc_id: r.content_fp
+           for r in spark.sql("select * from dedup_test").collect()}
+    from matric_spark.operators.dedup import exact_dedup
+
+    all_rows = spark.createDataFrame(
+        [x for rows in batches for x in rows], ddl
+    )
+    batch_kept = sorted(r.doc_id for r in exact_dedup(all_rows).collect())
+    assert got == batch_kept
