@@ -834,6 +834,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters in EMBEDDING space: transitive closure of the
+    exact cosine near-dup pairs (the similarity-space twin of
+    dedup_clusters' shingle pairs) — components via pointer-jumped label
+    propagation, recursive-CTE oracle."""
+    from pyspark import StorageLevel
+
+    from matric_spark.operators.ann import embedding_near_dup
+    from matric_spark.operators.graph import dedup_clusters
+
+    # persist the (small) pair list: the clustering path evaluates its
+    # edge relation more than once (edge count for the strategy switch,
+    # then the propagation/collect), and each evaluation would otherwise
+    # re-run the exact near-dup scan
+    pairs = (
+        embedding_near_dup(_emb(spark, sf_dir), 0.4)
+        .select("id1", "id2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return dedup_clusters(pairs)
+
+
 _SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
 _STRAT_FRACS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.25}
 
@@ -982,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_verdicts": q_conv_verdicts,
         "doc_lm_score": q_doc_lm_score,
         "dedup_clusters": q_dedup_clusters,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
         "decontaminate": q_decontaminate,
         "cluster_canonical": q_cluster_canonical,
         "pack_chunks": q_pack_chunks,
@@ -1415,6 +1438,7 @@ SELECT l.event_id, l.user_id, l.ts, (round(l.value, 6) + 0) AS value,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
     sql["dedup_clusters"] = dk.dedup_clusters_sql(0.1)
+    sql["emb_dedup_clusters"] = dk.emb_dedup_clusters_sql(0.4)
     sql["decontaminate"] = dk.contamination_sql("doc_id % 97 = 0", n=3, min_overlap=2)
     sql["cluster_canonical"] = dk.cluster_canonical_sql(0.1)
     sql["pack_chunks"] = dk.pack_chunks_sql(512, "lang")

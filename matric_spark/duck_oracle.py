@@ -678,19 +678,13 @@ FROM r WHERE rank <= {k}"""
 # graph / sampling / temporal ----------------------------------------------
 
 
-def dedup_clusters_sql(
-    threshold: float = 0.1,
-    n: int = 3,
-    max_df_frac: float | None = 0.05,
-    min_df_floor: int = 100,
-) -> str:
-    """Connected components over the ngram-Jaccard pair list via a
+def _cc_over_pairs_sql(pairs_sql: str) -> str:
+    """Connected components over any (id1, id2)-shaped pair query via a
     recursive CTE (min reachable id = cluster id) — tractable at oracle
     scale; the Spark side uses pointer-jumped label propagation."""
-    pairs = ngram_jaccard_sql(threshold, n, max_df_frac, min_df_floor)
     return f"""
 WITH RECURSIVE
-pairs AS ({pairs}),
+pairs AS ({pairs_sql}),
 edges AS (SELECT id1 AS s, id2 AS d FROM pairs
           UNION SELECT id2, id1 FROM pairs),
 nodes AS (SELECT DISTINCT s AS v FROM edges),
@@ -703,6 +697,23 @@ sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        FROM cc GROUP BY 1)
 SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
 FROM cc JOIN sz USING (cluster_id)"""
+
+
+def dedup_clusters_sql(
+    threshold: float = 0.1,
+    n: int = 3,
+    max_df_frac: float | None = 0.05,
+    min_df_floor: int = 100,
+) -> str:
+    return _cc_over_pairs_sql(
+        ngram_jaccard_sql(threshold, n, max_df_frac, min_df_floor)
+    )
+
+
+def emb_dedup_clusters_sql(threshold: float = 0.4) -> str:
+    """Duplicate clusters over EXACT embedding-cosine near-dup pairs:
+    the similarity-space twin of dedup_clusters (text shingles)."""
+    return _cc_over_pairs_sql(embedding_near_dup_sql(threshold))
 
 
 def contamination_sql(

@@ -395,3 +395,24 @@ def test_rolling_stats_same_second_ties_are_peers(spark):
     out = {r.event_id: r for r in rolling_stats(ev).collect()}
     assert out[1].roll_n == 2 and out[2].roll_n == 2
     assert out[1].roll_sum == out[2].roll_sum == 3.0
+
+
+def test_emb_dedup_clusters_composition(spark):
+    """Embedding-space dedup clusters: near-dup pairs (cosine >= t) →
+    connected components with min-id canonical + sizes."""
+    from matric_spark.operators.ann import embedding_near_dup
+    from matric_spark.operators.graph import dedup_clusters
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.999, 0.01]),   # cluster {0,1,2}: 0~1, 1~2
+        (2, [0.99, 0.05]),
+        (10, [0.0, 1.0]), (11, [0.01, 0.999]), # cluster {10,11}
+        (20, [-1.0, 0.0]),                     # no partner
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup(emb, 0.99).select("id1", "id2")
+    out = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in dedup_clusters(pairs).collect()}
+    assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
+    assert out[10] == (10, 2) and out[11] == (10, 2)
+    assert 20 not in out  # pairless vectors are absent, not singletons
