@@ -932,6 +932,63 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.join(hll, "part_month")
 
 
+def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the mergeable sketches, in the driver's hard
+    signal: per partition, t-digest q50/q95 must land within 5% of the
+    value SPREAD of the exact percentile and HLL distinct within 5%
+    relative of the exact distinct — the same envelopes
+    tests/test_sketches.py and check_oracle.py's bounds oracle pin.
+    Violation rows must be empty (oracle: empty set). Transitivity: the
+    exact sides are themselves hash-gated (`colstats_quantiles`,
+    `colstats`.conv_id_distinct), so an in-bounds sketch is bounded
+    against DuckDB's ground truth, not merely against Spark."""
+    from matric_spark.operators.sketches import hll_distinct, tdigest_quantiles
+
+    t = transcript_df(spark, sf_dir)
+    nn = t.filter(F.col("text").isNotNull()).withColumn(
+        "_len", F.length("text")
+    )
+    td = tdigest_quantiles(nn, ["part_month"], "_len", [0.5, 0.95])
+    hll = hll_distinct(t, ["part_month"], "conv_id")
+    exact = nn.groupBy("part_month").agg(
+        F.expr("percentile(_len, 0.5)").alias("_e50"),
+        F.expr("percentile(_len, 0.95)").alias("_e95"),
+        F.min("_len").alias("_lo"),
+        F.max("_len").alias("_hi"),
+    )
+    exact_nd = t.groupBy("part_month").agg(
+        F.count_distinct("conv_id").alias("_nd")
+    )
+    j = (
+        td.join(hll, "part_month")
+        .join(F.broadcast(exact), "part_month")
+        .join(F.broadcast(exact_nd), "part_month")
+    )
+    spread = F.greatest(F.col("_hi") - F.col("_lo"), F.lit(1.0))
+    checks = [
+        ("q_50", (F.abs(F.col("q_50") - F.col("_e50")) / spread), F.col("q_50"), F.col("_e50")),
+        ("q_95", (F.abs(F.col("q_95") - F.col("_e95")) / spread), F.col("q_95"), F.col("_e95")),
+        (
+            "approx_distinct",
+            F.abs(F.col("approx_distinct") - F.col("_nd"))
+            / F.greatest(F.col("_nd"), F.lit(1)).cast("double"),
+            F.col("approx_distinct").cast("double"),
+            F.col("_nd").cast("double"),
+        ),
+    ]
+    out = None
+    for metric, err, approx, ex in checks:
+        v = j.filter(err >= 0.05).select(
+            "part_month",
+            F.lit(metric).alias("metric"),
+            approx.cast("double").alias("approx"),
+            ex.cast("double").alias("exact"),
+            err.cast("double").alias("err"),
+        )
+        out = v if out is None else out.unionByName(v)
+    return _round6(out, ["approx", "exact", "err"])
+
+
 def q_sim_signif(spark: SparkSession, sf_dir: str) -> DataFrame:
     # permutation nulls are seeded-numpy — deterministic but not
     # SQL-reproducible → no oracle (rows-only); properties tested in
@@ -947,6 +1004,33 @@ def q_sim_signif(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{stat}_nlog10qvalue",
     )
     return _round6(out, [c for c in out.columns if c.startswith("sim")])
+
+
+def q_signif_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property gate for the permutation-null machinery, in the driver's
+    hard signal: within a permutation cell (signal_n m, binned
+    background_n), p = (1 + #{null > stat})/(1 + nn) is a deterministic
+    NON-INCREASING function of the AP stat — so −log10 p must be
+    non-decreasing when rows are ordered by stat, and p must lie in
+    [1/(nn+1), 1] (⇒ nlog10 ∈ [0, log10(nn+1)]). Violation rows must be
+    empty (oracle: empty set). This converts the seeded-numpy part of
+    `sim_signif` — whose VALUES are deliberately rows-only — into a
+    gated property check."""
+    from matric_spark.operators.signif import (
+        ap_pvalue_property_violations,
+        attach_ap_pvalues,
+    )
+
+    stat = "sim_retrieval_average_precision_non_rep_i"
+    nn = 1000
+    out = attach_ap_pvalues(_level10(spark, sf_dir), nn=nn)
+    viol = ap_pvalue_property_violations(out, nn=nn).select(
+        "id1",
+        "label1",
+        F.col(stat).alias("stat"),
+        F.col(f"{stat}_nlog10pvalue").alias("nlog10p"),
+    )
+    return _round6(viol, ["stat", "nlog10p"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -987,8 +1071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_metrics_level21": q_sim_metrics_level21,
         "sim_bh": q_sim_bh,
         "sim_signif": q_sim_signif,
+        "signif_monotonic": q_signif_monotonic,
         "colstats_quantiles": q_colstats_quantiles,
         "sketch_stats": q_sketch_stats,
+        "sketch_bounds": q_sketch_bounds,
         "incremental_verdicts": q_incremental_verdicts,
         "events_stats": q_events_stats,
         "events_sessionize": q_events_sessionize,
@@ -1357,6 +1443,15 @@ SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
     sql["ann_ivf_soundness"] = """
 SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS vec_id,
        CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS VARCHAR) AS reason
+WHERE 1 = 0"""
+    sql["sketch_bounds"] = """
+SELECT CAST(NULL AS INT) AS part_month, CAST(NULL AS VARCHAR) AS metric,
+       CAST(NULL AS DOUBLE) AS approx, CAST(NULL AS DOUBLE) AS exact,
+       CAST(NULL AS DOUBLE) AS err
+WHERE 1 = 0"""
+    sql["signif_monotonic"] = """
+SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS label1,
+       CAST(NULL AS DOUBLE) AS stat, CAST(NULL AS DOUBLE) AS nlog10p
 WHERE 1 = 0"""
 
     # ---- matric-parity sim suite ----

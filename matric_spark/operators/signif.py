@@ -116,3 +116,44 @@ def attach_ap_pvalues(
             f"{stat}_nlog10qvalue", -F.log10(F.col("_q_value"))
         ).drop("_q_value")
     return out.drop("_p_value")
+
+
+def ap_pvalue_property_violations(
+    df: DataFrame,
+    background_type: str = "non_rep",
+    identifier: str = "i",
+    nn: int = 10000,
+) -> DataFrame:
+    """Rows of an `attach_ap_pvalues` output that break the permutation
+    machinery's invariants — empty on a correct implementation:
+
+    - monotonicity: within a permutation cell (signal_n m, binned
+      background_n), p = (1 + #{null > stat})/(1 + nn) is non-increasing
+      in the stat, so −log10 p ordered by stat may never decrease;
+    - range: p ∈ [1/(nn+1), 1] ⇒ −log10 p ∈ [0, log10(nn+1)].
+
+    One window per cell (max of preceding −log10 p under stat order);
+    ties are safe because equal stat ⇒ identical p bit-for-bit (p is a
+    deterministic function of (cell, stat))."""
+    import math
+
+    stat = f"sim_retrieval_average_precision_{background_type}_{identifier}"
+    m_col = f"sim_stat_signal_n_{background_type}_{identifier}"
+    n_col = f"sim_stat_background_n_{background_type}_{identifier}"
+    nlp = f"{stat}_nlog10pvalue"
+
+    cell = df.withColumn("_cell_n", bin_background_n(F.col(n_col)))
+    w = (
+        Window.partitionBy(m_col, "_cell_n")
+        .orderBy(stat)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        cell.withColumn("_prev_max", F.max(nlp).over(w))
+        .filter(
+            (F.col(nlp) < F.col("_prev_max"))
+            | (F.col(nlp) < 0)
+            | (F.col(nlp) > F.lit(math.log10(nn + 1)))
+        )
+        .drop("_cell_n", "_prev_max")
+    )

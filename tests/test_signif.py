@@ -87,3 +87,25 @@ def test_pvalue_extremes(spark):
         got[1]["sim_retrieval_average_precision_non_rep_i_nlog10qvalue"]
         >= got[2]["sim_retrieval_average_precision_non_rep_i_nlog10qvalue"]
     )
+
+
+def test_ap_pvalue_property_violations_detect_planted_break(spark, metrics_fixture):
+    """The property gate is empty on a correct attach_ap_pvalues output
+    and catches a planted monotonicity corruption."""
+    from matric_spark.operators.signif import (
+        ap_pvalue_property_violations,
+        attach_ap_pvalues,
+    )
+
+    out = attach_ap_pvalues(metrics_fixture, nn=200)
+    assert ap_pvalue_property_violations(out, nn=200).count() == 0
+
+    stat = "sim_retrieval_average_precision_non_rep_i"
+    nlp = f"{stat}_nlog10pvalue"
+    # corrupt the highest-stat row's p to the worst value: within its
+    # cell a smaller stat now has a LARGER -log10 p -> violation
+    best = out.orderBy(F.desc(stat)).limit(1).select("id1").collect()[0].id1
+    broken = out.withColumn(
+        nlp, F.when(F.col("id1") == best, F.lit(0.0)).otherwise(F.col(nlp))
+    )
+    assert ap_pvalue_property_violations(broken, nn=200).count() >= 1
