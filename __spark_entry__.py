@@ -41,7 +41,8 @@ _TAPE_CTES = """r AS (SELECT conv_id, turn_idx, ts,
           || coalesce(text, chr(29) || 'null') AS s
       FROM transcripts),
 tapes AS (SELECT conv_id AS doc_id,
-                 string_agg(s, chr(30) ORDER BY turn_idx, ts, s) AS text
+                 string_agg(s, chr(30) ORDER BY turn_idx NULLS FIRST,
+                            ts NULLS FIRST, s) AS text
           FROM r GROUP BY 1)"""
 _ROLES = ", ".join(f"'{r}'" for r in DEFAULT_ROLE_DOMAIN)
 _TOOLS = ", ".join(f"'{t}'" for t in DEFAULT_TOOL_DOMAIN)
@@ -839,20 +840,13 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine near-dup pairs (the similarity-space twin of
     dedup_clusters' shingle pairs) — components via pointer-jumped label
     propagation, recursive-CTE oracle."""
-    from pyspark import StorageLevel
-
     from matric_spark.operators.ann import embedding_near_dup
     from matric_spark.operators.graph import dedup_clusters
 
-    # persist the (small) pair list: the clustering path evaluates its
-    # edge relation more than once (edge count for the strategy switch,
-    # then the propagation/collect), and each evaluation would otherwise
-    # re-run the exact near-dup scan
-    pairs = (
-        embedding_near_dup(_emb(spark, sf_dir), 0.4)
-        .select("id1", "id2")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # no persist needed: dedup_clusters localCheckpoints its edge relation
+    # eagerly, so the exact near-dup scan runs exactly once and every later
+    # action (strategy-probe count, propagation rounds) reads the checkpoint
+    pairs = embedding_near_dup(_emb(spark, sf_dir), 0.4).select("id1", "id2")
     return dedup_clusters(pairs)
 
 
@@ -1184,7 +1178,8 @@ psi AS (SELECT p, np AS n_part,
 _OOO_SQL = """
 SELECT part_month AS part, CAST(count(*) AS BIGINT) seq_order FROM (
     SELECT part_month, ts,
-           max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+           max(ts) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_max
     FROM transcripts) x
 WHERE ts < prev_max GROUP BY 1
@@ -1241,7 +1236,8 @@ FROM transcripts GROUP BY conv_id"""
     sql["seq_out_of_order"] = f"""{_T}
 SELECT conv_id, turn_idx, ts, part_month FROM (
     SELECT conv_id, turn_idx, ts, part_month,
-           max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+           max(ts) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) prev_max
     FROM transcripts) x
 WHERE ts < prev_max"""
@@ -1280,7 +1276,8 @@ FROM s WINDOW w AS (PARTITION BY user_id ORDER BY sec
 o AS (SELECT coalesce(role, {_null_s}) AS role_s,
              lag(coalesce(role, {_null_s})) OVER (
                  PARTITION BY conv_id
-                 ORDER BY turn_idx, ts, {_order_s}) AS prev
+                 ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST,
+                          {_order_s}) AS prev
       FROM transcripts)
 SELECT coalesce(prev, '<start>') AS prev_role, role_s AS role,
        CAST(count(*) AS BIGINT) AS n,
@@ -1294,10 +1291,12 @@ FROM o GROUP BY 1, 2"""
 o AS (SELECT conv_id, turn_idx, ts, role, tool, text,
              coalesce(role, {_null_s}) AS role_s,
              lag(coalesce(role, {_null_s})) OVER w AS prev,
-             max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, {_order_s}
+             max(ts) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST, {_order_s}
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
       FROM transcripts
-      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts, {_order_s})),
+      WINDOW w AS (PARTITION BY conv_id
+                   ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST, {_order_s})),
 f AS (SELECT conv_id, turn_idx,
              CASE WHEN role IS NULL OR role NOT IN ({_ROLES}) THEN 1 ELSE 0 END AS role_bad,
              CASE WHEN tool IS NOT NULL AND tool NOT IN ({_TOOLS}) THEN 1 ELSE 0 END AS tool_bad,

@@ -51,7 +51,9 @@ def conversation_tapes(df: DataFrame) -> DataFrame:
     """Serialize each conversation to one string: (role, text) per turn,
     \\x1f within a turn, \\x1e between turns, NULLs as the \\x1d"null"
     sentinel, turns ordered by (turn_idx, ts, composed-string) so
-    duplicate keys still serialize deterministically ->
+    duplicate keys still serialize deterministically. NULL sort keys
+    order FIRST (Spark's asc default) — the DuckDB tape CTE must say
+    NULLS FIRST explicitly to mirror this ->
     DataFrame[conv_id, tape]. One groupBy(conv_id) with bounded state
     (a conversation is ~10^4 turns max)."""
     s = F.concat_ws(

@@ -45,6 +45,7 @@ def _shingles(toks: str, n: int = 3) -> str:
 def doc_text_stats_sql() -> str:
     toks = TOKS.format(col="text")
     stop = _sql_list(STOPWORDS)
+    q = QUALITY_EXPR.format(toks="toks", stop=stop, col="text")
     return f"""
 WITH t AS (
   SELECT doc_id, text, {toks} AS toks FROM documents
@@ -58,15 +59,14 @@ WITH t AS (
          len(list_filter(toks, x -> list_contains({stop}, x))) / len(toks) AS stopword_ratio,
          CASE WHEN length(text) > 0 THEN
            (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) / length(text)
-         ELSE 0.0 END AS punct_ratio
+         ELSE 0.0 END AS punct_ratio,
+         {q} AS quality
   FROM t)
 SELECT doc_id, n_tokens, n_bpe_tokens, n_chars,
        (round(avg_token_len, 6) + 0) AS avg_token_len,
        (round(stopword_ratio, 6) + 0) AS stopword_ratio,
        (round(punct_ratio, 6) + 0) AS punct_ratio,
-       (round(least(1.0, n_tokens / 50.0)
-             * (1.0 - abs(stopword_ratio - 0.2))
-             * (1.0 - least(0.5, punct_ratio)), 6) + 0) AS quality
+       (round(quality, 6) + 0) AS quality
 FROM m"""
 
 
@@ -108,15 +108,12 @@ FROM s"""
 def corpus_quality_sql() -> str:
     toks = TOKS.format(col="text")
     stop = _sql_list(STOPWORDS)
+    q = QUALITY_EXPR.format(toks="toks", stop=stop, col="text")
     return f"""
 WITH t AS (SELECT lang, source, text, {toks} AS toks FROM documents),
 m AS (SELECT lang, source,
         CAST(len(toks) AS BIGINT) AS n_tokens,
-        least(1.0, len(toks) / 50.0)
-          * (1.0 - abs(len(list_filter(toks, x -> list_contains({stop}, x))) / len(toks) - 0.2))
-          * (1.0 - least(0.5, CASE WHEN length(text) > 0 THEN
-               (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) / length(text)
-             ELSE 0.0 END)) AS quality
+        {q} AS quality
       FROM t)
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -841,7 +838,8 @@ def doc_repetition_sql(ns: tuple[int, ...] = (1, 2, 3)) -> str:
         )
     union = "\n  UNION ALL ".join(arms)
     return f"""
-WITH toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents),
+WITH toks AS (SELECT doc_id, string_split({norm}, ' ') AS t
+              FROM documents WHERE text IS NOT NULL),
 g AS (
   {union}
 ),

@@ -387,8 +387,12 @@ def ivf_soundness_violations(
     - `bad_cosine`: the emitted cosine must equal the exact cosine of
       (qid, vec_id) recomputed from the vectors (6dp);
     - `over_k`: at most k rows per qid;
-    - `bad_rank`: `rank` must be the row_number under the deterministic
-      ordering (cosine desc, vec_id asc) *within the emitted set*.
+    - `bad_rank`: ranks per qid must be exactly 1..n, and walking them in
+      order the (6dp-rounded) cosines must be non-increasing. Rank was
+      assigned on the UNROUNDED cosine, so two rows that tie only after
+      rounding may sit in either order — a strict re-rank on the rounded
+      value would flag false violations; monotonicity-at-6dp is the
+      invariant that survives the rounding contract.
 
     Returns DataFrame[qid, vec_id, cosine, reason]; empty ⇔ sound.
     """
@@ -403,10 +407,11 @@ def ivf_soundness_violations(
             "_exact", F.round(dot("qv", "v"), 6) + F.lit(0.0)
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.asc("rank"), F.asc("vec_id"))
     checked = (
         checked.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("qid")))
         .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev_cos", F.lag("cosine").over(w))
     )
     return checked.select(
         "qid",
@@ -414,6 +419,10 @@ def ivf_soundness_violations(
         "cosine",
         F.when(F.col("cosine") != F.col("_exact"), F.lit("bad_cosine"))
         .when(F.col("_n") > k, F.lit("over_k"))
-        .when(F.col("rank") != F.col("_rn"), F.lit("bad_rank"))
+        .when(
+            (F.col("rank") != F.col("_rn"))
+            | (F.col("_prev_cos") < F.col("cosine")),
+            F.lit("bad_rank"),
+        )
         .alias("reason"),
     ).filter(F.col("reason").isNotNull())

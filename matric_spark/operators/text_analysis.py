@@ -92,7 +92,9 @@ def doc_repetition(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)) -> DataFram
     from matric_spark.functions.hashing import shingles_of
     from matric_spark.operators.dedup import normalized_text
 
-    staged = docs.select(
+    # NULL text yields zero n-gram rows (not a spurious [""] shingle from
+    # size(NULL) = -1) — mirrored by WHERE text IS NOT NULL in the oracle.
+    staged = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.split(normalized_text("text"), " ").alias("_toks")
     )
     grams = None

@@ -131,11 +131,15 @@ class StateStore:
         out = df.withColumn("fingerprint", F.lit(fingerprint))
         if self.catalog == "iceberg":
             tbl = f"{self.ns}.{name}"
-            try:
+            # Decide create-vs-append from the catalog, not by swallowing
+            # append() failures: a bare try/append-except/create would mask
+            # real append errors (schema drift, commit conflict) behind a
+            # confusing "table already exists" from the fallback create.
+            self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
+            if self.spark.catalog.tableExists(tbl):
                 out.writeTo(tbl).append()
-            except Exception:
+            else:
                 # first write: create the table partitioned by lineage id
-                self.spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
                 out.writeTo(tbl).using("iceberg").partitionedBy(
                     F.col("fingerprint")
                 ).create()

@@ -274,6 +274,49 @@ def test_conv_near_dup_tapes(spark):
     assert all("D" not in k for k in out)     # no shingles shared
 
 
+def test_conversation_tapes_null_key_ordering_matches_oracle(spark):
+    """Spark windows/sort_array put NULLs FIRST; DuckDB defaults to NULLS
+    LAST — the tape CTE must say NULLS FIRST explicitly or any NULL
+    turn_idx/ts (both nullable in the schema, and planted by colstats'
+    null-rate fixtures) silently breaks the byte-for-byte tape mirror."""
+    import datetime as dt
+
+    import duckdb
+
+    from __spark_entry__ import _TAPE_CTES
+    from matric_spark.checks.sequence import conversation_tapes
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("C", None, "user", "ZZZ", None, None),
+        ("C", 0, "user", "AAA", None, t0),
+        ("C", 0, "user", "BBB", None, None),  # NULL ts ties with turn 0
+        ("D", None, "user", None, None, None),  # all-NULL sort keys
+        ("D", 1, "assistant", "ok", "web_search", t0),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {r.conv_id: r.tape for r in conversation_tapes(d).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE transcripts (conv_id VARCHAR, turn_idx INT, "
+        "role VARCHAR, text VARCHAR, tool VARCHAR, ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO transcripts VALUES (?, ?, ?, ?, ?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"WITH {_TAPE_CTES} SELECT doc_id, text FROM tapes"
+        ).fetchall()
+    )
+    assert got == want
+    # NULL turn_idx serializes first, not last
+    assert got["C"].startswith("user\x1fZZZ")
+
+
 def test_conv_verdicts_reason_codes(tiny_transcripts):
     from matric_spark.checks.sequence import conv_verdicts
 

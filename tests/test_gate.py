@@ -4,12 +4,14 @@ driver row (sim_spearman_strata) because the local gate compared with
 pandas `==`, which treats -0.0 == +0.0; these tests pin the byte-strict
 contract so that class of divergence can never pass locally again."""
 
+import os
 import sys
 
 import pandas as pd
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
 from check_oracle import canon, compare, frame_hash  # noqa: E402
 
 
@@ -66,8 +68,8 @@ def test_oracle_sql_has_no_unnormalized_final_round():
     import re
 
     srcs = [
-        open("/root/repo/matric_spark/duck_oracle.py").read(),
-        open("/root/repo/__spark_entry__.py").read(),
+        open(os.path.join(_REPO, "matric_spark", "duck_oracle.py")).read(),
+        open(os.path.join(_REPO, "__spark_entry__.py")).read(),
     ]
     bad = []
     for src in srcs:

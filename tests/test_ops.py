@@ -225,6 +225,47 @@ def test_ann_topk_ordering(spark, tiny_vectors):
     assert got[0].cosine == pytest.approx(0.999 / math.hypot(0.999, 0.001))
 
 
+def test_ivf_soundness_tolerates_6dp_rank_ties(spark):
+    """ann_topk_ivf assigns rank on the UNROUNDED cosine; the soundness
+    checker only sees 6dp-rounded values. Two rows whose cosines differ
+    beyond 6dp may therefore carry ranks in either vec_id order — that
+    must NOT be a bad_rank violation, while a genuinely inverted rank
+    (higher rounded cosine ranked later) must be."""
+    import numpy as np
+
+    from matric_spark.operators.ann import ivf_soundness_violations
+
+    def unit(x):
+        v = [x, float(np.sqrt(1.0 - x * x))]
+        return [float(a) for a in v]
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # the query vector
+            (9, unit(0.1234572)),     # ties with 3 at 6dp, bigger vec_id
+            (3, unit(0.1234567)),
+            (5, unit(0.9)),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    sound = spark.createDataFrame(
+        [
+            (1, 5, 0.9, 1),
+            (1, 9, 0.123457, 2),   # unrounded 0.1234572 > 0.1234567
+            (1, 3, 0.123457, 3),   # → 9 before 3 despite vec_id order
+        ],
+        "qid int, vec_id int, cosine double, rank int",
+    )
+    assert ivf_soundness_violations(sound, emb, k=3).count() == 0
+
+    inverted = spark.createDataFrame(
+        [(1, 3, 0.123457, 1), (1, 5, 0.9, 2)],
+        "qid int, vec_id int, cosine double, rank int",
+    )
+    bad = ivf_soundness_violations(inverted, emb, k=3).collect()
+    assert any(r.reason == "bad_rank" for r in bad)
+
+
 def test_text_stats_closed_form(spark):
     from matric_spark.operators.text_analysis import doc_text_stats
 

@@ -39,6 +39,32 @@ def test_repetition_word_level(rep_docs):
     assert r3.top_frac == 0.6 and r3.dup_frac == 1.0
 
 
+def test_repetition_null_text_emits_no_rows_like_oracle(spark):
+    """NULL text must yield zero n-gram rows (Spark's size(NULL) = -1
+    would otherwise fabricate a [""] shingle), matching the oracle's
+    unnest-over-NULL behavior row for row."""
+    import duckdb
+
+    from matric_spark.duck_oracle import doc_repetition_sql
+
+    rows = [(1, None), (2, "a b a")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = sorted(
+        (r.doc_id, r.n, r.total_ngrams, r.n_distinct)
+        for r in doc_repetition(d, ns=(1, 2)).collect()
+    )
+    assert all(doc_id == 2 for doc_id, *_ in got)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(doc_repetition_sql(ns=(1, 2))).fetchall()
+    )
+    assert got == want
+
+
 def test_repetition_short_doc_whole_text_shingle(spark):
     d = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
     out = doc_repetition(d, ns=(3,)).collect()
