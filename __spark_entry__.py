@@ -1027,6 +1027,39 @@ def q_signif_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(viol, ["stat", "nlog10p"])
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style duplicated token-window coverage per doc: 8-token
+    windows whose hash occurs at >1 (doc, position) globally, merged
+    into maximal covered runs (island window), as token-coverage
+    fractions."""
+    from matric_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), window=8)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: exact global top-5 values per key column (incl.
+    the high-cardinality conv_id — the shuffle key every heavy check
+    groups on)."""
+    from matric_spark.checks.column_stats import heavy_hitters
+
+    t = transcript_df(spark, sf_dir)
+    return heavy_hitters(t, ["role", "tool", "part_month", "conv_id"], k=5)
+
+
+def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic Bernoulli sample (weight=n_chars,
+    expected keep ~20% of docs, probability ∝ weight): the
+    quality/length-weighted corpus sampling stage, selection
+    bit-identical to the DuckDB oracle."""
+    from matric_spark.operators.sampling import weighted_hash_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_hash_sample(d, ["doc_id"], "n_chars", 0.2).select(
+        "doc_id", "n_chars", "keep_prob"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats": q_colstats,
@@ -1097,6 +1130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": q_doc_split_assign,
         "corpus_mix": q_corpus_mix,
         "doc_sample_strat": q_doc_sample_strat,
+        "doc_dup_spans": q_doc_dup_spans,
+        "heavy_hitters": q_heavy_hitters,
+        "doc_sample_weighted": q_doc_sample_weighted,
         "text_parity": q_text_parity,
         "fk_summary": q_fk_summary,
     }
@@ -1622,6 +1658,14 @@ UNION ALL
 SELECT 'customer.c_nationkey->nation',
        CAST((SELECT count(*) FROM customer c LEFT JOIN nation n
              ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)"""
+
+    sql["doc_dup_spans"] = dk.duplicated_spans_sql(window=8)
+
+    sql["heavy_hitters"] = f"""{_T}{dk.heavy_hitters_sql(
+        ['role', 'tool', 'part_month', 'conv_id'], k=5
+    )}"""
+
+    sql["doc_sample_weighted"] = dk.weighted_sample_sql(0.2)
 
     # self-parity is exactly zero violation rows
     sql["text_parity"] = f"""{_T}

@@ -64,3 +64,65 @@ def column_stats(
         else:
             aggs.append(F.approx_count_distinct(c).alias(f"{c}_distinct"))
     return df.groupBy(partition_col).agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame, columns: list[str], k: int = 10
+) -> DataFrame:
+    """Global top-``k`` most frequent values per column — the skew
+    diagnostic a validation run emits BEFORE the shuffle-heavy checks,
+    so an operator (or AQE tuning) knows which join/agg keys are hot.
+
+    One scan: every row explodes to |columns| (col_name, value) structs
+    (values cast to string; NULL kept as a real NULL group), then one
+    map-side-combinable count aggregate and a row_number over the tiny
+    per-column count relation. Ties break on the value string (NULLs
+    first, matching Spark's default ascending order) so the k-boundary
+    is deterministic on both engines.
+
+    Returns DataFrame[col_name, value, n, frac, rnk] with rnk <= k;
+    ``frac`` is the value's share of all rows (round6, -0.0-normalized).
+
+    Scale shape: the exploded relation is |rows| x |columns| but carries
+    only (short string, string) pairs and partial-aggregates per input
+    partition before its single shuffle — a million-fold duplicated
+    value crosses the wire once per partition. The ranked stage sees one
+    row per DISTINCT value, which for skew-diagnostic columns is tiny;
+    for genuinely high-cardinality columns (conv_id) it is exactly the
+    (key, count) relation any skew analysis must materialize anyway.
+
+    Reference lineage: generalizes matric's per-group count discipline
+    (R/sim_metrics.R:391-404) from fixed metadata groups to arbitrary
+    key-frequency ranking.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = pairs.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rank = Window.partitionBy("col_name").orderBy(
+        F.desc("n"), F.asc_nulls_first("value")
+    )
+    w_all = Window.partitionBy("col_name")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .withColumn(
+            "frac",
+            F.round(F.col("n") / F.sum("n").over(w_all), 6) + F.lit(0.0),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("col_name", "value", "n", "frac", "rnk")
+    )

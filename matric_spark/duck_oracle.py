@@ -978,3 +978,88 @@ def hash_split_sql(
         acc += splits[name] / total
         whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
     return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+
+
+def duplicated_spans_sql(window: int = 8) -> str:
+    """Mirrors operators/dedup.duplicated_spans: width-`window` token
+    windows hashed with the shared md5 construction; hashes occurring at
+    >1 (doc, position) flag their positions; flagged windows merge into
+    maximal covered runs per doc via the identical island-merge window
+    (pos is unique per doc, so no ORDER BY tie semantics to align)."""
+    norm = NORM.format(col="text")
+    w = window
+    return f"""
+WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+wins AS (
+  SELECT doc_id, n_tokens, i - 1 AS pos,
+         {hexbig(f"array_to_string(toks[i:i+{w - 1}], ' ')")} AS h
+  FROM (SELECT doc_id, n_tokens, toks,
+               unnest(range(1, greatest(len(toks) - {w - 1}, 1) + 1)) AS i
+        FROM base) u),
+dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+f AS (SELECT w.doc_id, w.pos, least(w.pos + {w}, w.n_tokens) AS e
+      FROM wins w SEMI JOIN dup USING (h)),
+m AS (SELECT *, CASE WHEN pos > coalesce(
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -1) THEN 1 ELSE 0 END AS nw
+      FROM f),
+isl AS (SELECT *, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM m),
+runs AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e, count(*) AS k
+         FROM isl GROUP BY 1, 2),
+per AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_dup_windows,
+               CAST(sum(e - s) AS BIGINT) AS dup_tokens
+        FROM runs GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       (round(coalesce(p.dup_tokens, 0) / CAST(b.n_tokens AS DOUBLE), 6) + 0)
+         AS dup_frac
+FROM base b LEFT JOIN per p USING (doc_id)"""
+
+
+def heavy_hitters_sql(columns: list[str], k: int = 10) -> str:
+    """Mirrors checks/column_stats.heavy_hitters over the `transcripts`
+    CTE (caller prefixes the transcript WITH-clause). NULL values stay a
+    real NULL group; tie-break on the value string NULLS FIRST matches
+    Spark's asc_nulls_first default."""
+    pairs = "\n  UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM transcripts"
+        for c in columns
+    )
+    return f"""
+, pairs AS (
+  {pairs}),
+g AS (SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2),
+r AS (SELECT col_name, value, n,
+             CAST(row_number() OVER (
+               PARTITION BY col_name
+               ORDER BY n DESC, value ASC NULLS FIRST) AS BIGINT) AS rnk,
+             sum(n) OVER (PARTITION BY col_name) AS tot
+      FROM g)
+SELECT col_name, value, n,
+       (round(n / CAST(tot AS DOUBLE), 6) + 0) AS frac, rnk
+FROM r WHERE rnk <= {k}"""
+
+
+def weighted_sample_sql(
+    fraction: float, salt: str = "wsample-v1"
+) -> str:
+    """Mirrors operators/sampling.weighted_hash_sample on `documents`
+    with weight = n_chars: identical IEEE op order
+    ((fraction * w) * n) / sum_w against the shared md5 uniform draw, so
+    the SELECTION (not just the reported prob) is bit-identical."""
+    u = hash_uniform_sql(["doc_id"], salt)
+    return f"""
+WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS sum_w,
+                    CAST(count(*) AS BIGINT) AS n FROM documents),
+p AS (SELECT d.doc_id, d.n_chars,
+             least(1.0, ({fraction!r} * d.n_chars) * t.n / CAST(t.sum_w AS DOUBLE))
+               AS keep_prob
+      FROM documents d CROSS JOIN tot t)
+SELECT doc_id, n_chars, (round(keep_prob, 6) + 0) AS keep_prob
+FROM p WHERE {u} < keep_prob"""

@@ -232,6 +232,122 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------- duplicated spans
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated token-window coverage — the
+    exact-substring dedup signal of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2022, arXiv:2107.06499),
+    re-shaped from suffix arrays to a fixed-width rolling window so the
+    whole computation is hash aggregates + one semi-join + one
+    per-doc window (no global sort, no suffix structure).
+
+    A width-`window` token window is DUPLICATED when its content hash
+    occurs at more than one (doc, position) globally — across documents
+    or repeated inside one. Overlapping/adjacent duplicated windows are
+    merged into maximal covered runs per doc (window-function island
+    merge) so each token is counted once. Docs shorter than `window`
+    tokens contribute one whole-text window (shingles_of fallback), so
+    short exact duplicates still surface.
+
+    Returns one row per input doc (zero-filled when clean):
+    DataFrame[doc_id, n_tokens, n_dup_windows, dup_tokens, dup_frac].
+
+    Scale shape: windows hash to 60-bit longs; the duplicated-hash set
+    comes from ONE map-side-combinable count aggregate keyed on the
+    hash, so a boilerplate window shared by millions of docs collapses
+    per input partition before the shuffle. Position flagging is a LEFT
+    SEMI join on the hash — no fan-out however hot the hash. The island
+    merge partitions by doc_id, bounded by each doc's own token count.
+    The text column never crosses a shuffle.
+
+    Reference lineage: matric has no substring machinery; this is new
+    corpus-prep engineering following its distinct-before-fanout
+    discipline (R/sim_calculate.R:293-299).
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    )
+    base = staged.select(
+        "doc_id", F.size("_toks").cast("long").alias("n_tokens"), "_toks"
+    )
+    from matric_spark.functions.hashing import shingles_of
+
+    wins = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(shingles_of(F.col("_toks"), window)).alias("pos", "sh"),
+    ).select("doc_id", "n_tokens", "pos", md5_long(F.col("sh")).alias("h"))
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = wins.join(dup_h, "h", "left_semi").withColumn(
+        # end-exclusive token index; clipped for the short-doc
+        # whole-text fallback window
+        "_end",
+        F.least(F.col("pos") + F.lit(window), F.col("n_tokens")),
+    )
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # a new covered run starts iff this window begins past everything
+    # covered so far (pos == prev max end means adjacent → same run)
+    flagged = flagged.withColumn(
+        "_new",
+        (
+            F.col("pos") > F.coalesce(F.max("_end").over(w_prev), F.lit(-1))
+        ).cast("int"),
+    ).withColumn("_run", F.sum("_new").over(w_run))
+    runs = flagged.groupBy("doc_id", "_run").agg(
+        F.min("pos").alias("_s"),
+        F.max("_end").alias("_e"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum("_k").alias("n_dup_windows"),
+        F.sum(F.col("_e") - F.col("_s")).alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.round(
+                    F.coalesce("dup_tokens", F.lit(0))
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )
+
+
 # ----------------------------------------------------------- MinHash
 
 

@@ -154,3 +154,51 @@ def stratified_hash_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, float(f)).otherwise(frac)
     return df.filter(hash_uniform(id_cols, salt) < frac)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_cols: list[str],
+    weight_col: str,
+    fraction: float,
+    salt: str = "wsample-v1",
+    prob_col: str = "keep_prob",
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sample: row keep
+    probability p_i = min(1, fraction * w_i / mean(w)), so the expected
+    kept ROW count is ~fraction * n (exact when no row clips at 1) and
+    each row's inclusion odds scale with its weight — the standard
+    quality- or length-weighted document sampling stage.
+
+    `weight_col` MUST be integral (token counts, quality buckets):
+    its global sum then aggregates exactly (bigint), so p_i is
+    bit-reproducible regardless of partitioning — a double-sum's
+    floating-point order-dependence would make the selection itself
+    nondeterministic across cluster sizes. The draw is the same salted
+    md5 uniform as `hash_sample`; p_i is computed in the fixed IEEE
+    order ((fraction * w) * n) / sum_w, mirrored exactly by the DuckDB
+    oracle (weighted_sample_sql) — only +,*,/ so both engines agree to
+    the last bit.
+
+    One tiny global aggregate (sum_w, n) broadcast back onto the
+    corpus; the big table is never shuffled. Returns the kept rows with
+    `prob_col` attached (round6, for inspection/inverse-probability
+    reweighting downstream).
+    """
+    tot = df.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_sum_w"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    u = hash_uniform(id_cols, salt)
+    p = F.least(
+        F.lit(1.0),
+        (F.lit(float(fraction)) * F.col(weight_col)) * F.col("_n")
+        / F.col("_sum_w"),
+    )
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .withColumn("_p", p)
+        .filter(u < F.col("_p"))
+        .withColumn(prob_col, F.round(F.col("_p"), 6) + F.lit(0.0))
+        .drop("_sum_w", "_n", "_p")
+    )

@@ -316,3 +316,158 @@ def test_fingerprint_invariance(spark, tiny_docs):
            for r in doc_fingerprint(tiny_docs).collect()}
     assert fps[0] == fps[4]  # whitespace/case-normalized identical
     assert fps[0] != fps[3]
+
+
+# ------------------------------------------------- duplicated spans
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        (0, "a b c d e f g h"),          # shares [a b c d] with doc 1
+        (1, "x y a b c d z w"),
+        (2, "p q r s t u v ww"),         # clean
+        (3, "m n o p m n o p"),          # within-doc repeat, adjacent runs
+        (4, "tiny doc"),                 # short-doc whole-text fallback...
+        (5, "tiny doc"),                 # ...duplicated exactly
+        (6, "q1 q2 q3 q4 q5 q6"),        # two OVERLAPPING shared windows
+        (7, "z0 q1 q2 q3 q4 q5 z8 z9"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicated_spans_closed_form(span_docs):
+    from matric_spark.operators.dedup import duplicated_spans
+
+    out = {
+        r.doc_id: r
+        for r in duplicated_spans(span_docs, window=4).collect()
+    }
+    assert len(out) == 8  # one row per doc, clean docs zero-filled
+    # cross-doc single shared window: 4 of 8 tokens covered
+    assert (out[0].n_dup_windows, out[0].dup_tokens) == (1, 4)
+    assert out[0].dup_frac == 0.5
+    assert (out[1].n_dup_windows, out[1].dup_tokens) == (1, 4)
+    # clean doc
+    assert (out[2].n_dup_windows, out[2].dup_tokens, out[2].dup_frac) == (
+        0, 0, 0.0,
+    )
+    # [m n o p] at pos 0 and pos 4: adjacent windows merge into ONE
+    # covered run spanning the whole doc
+    assert (out[3].n_dup_windows, out[3].dup_tokens) == (2, 8)
+    assert out[3].dup_frac == 1.0
+    # short docs fall back to a whole-text window
+    for d in (4, 5):
+        assert (out[d].n_dup_windows, out[d].dup_tokens, out[d].dup_frac) == (
+            1, 2, 1.0,
+        )
+    # overlapping shared windows merge: doc 6 covered [0,5) of 6 tokens
+    assert (out[6].n_dup_windows, out[6].dup_tokens) == (2, 5)
+    assert out[6].dup_frac == round(5 / 6, 6)
+    # doc 7 covered [1,6) of 8
+    assert (out[7].n_dup_windows, out[7].dup_tokens) == (2, 5)
+
+
+def test_duplicated_spans_exact_dup_full_coverage(spark):
+    from matric_spark.operators.dedup import duplicated_spans
+
+    t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [(0, t), (1, t)], "doc_id long, text string"
+    )
+    for r in duplicated_spans(docs, window=8).collect():
+        assert r.dup_frac == 1.0
+        assert r.dup_tokens == 12
+        assert r.n_dup_windows == 5  # 12 - 8 + 1
+
+
+# ---------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_counts_ties_and_nulls(spark):
+    from matric_spark.checks.column_stats import heavy_hitters
+
+    rows = [("a", 1), ("a", 1), ("b", 1), ("b", 2), (None, 2), (None, 3)]
+    df = spark.createDataFrame(rows, "s string, v int")
+    out = heavy_hitters(df, ["s", "v"], k=2)
+    got = {(r.col_name, r.value, r.n, r.rnk) for r in out.collect()}
+    # s: 'a'×2, 'b'×2, NULL×2 — all tie at n=2; NULLS FIRST then 'a'
+    assert (("s", None, 2, 1) in got) and (("s", "a", 2, 2) in got)
+    assert not any(c == "s" and v == "b" for c, v, _, _ in got)
+    # v: 1×3 then 2×2
+    assert (("v", "1", 3, 1) in got) and (("v", "2", 2, 2) in got)
+    fr = {(r.col_name, r.value): r.frac for r in out.collect()}
+    assert fr[("v", "1")] == 0.5
+
+
+def test_heavy_hitters_single_scan_plan(spark):
+    """One scan + one count shuffle: the per-column fan-out is an
+    explode, not |columns| separate scans/unions."""
+    from matric_spark.checks.column_stats import heavy_hitters
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("a"),
+        (F.col("id") % 5).cast("string").alias("b"),
+    )
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        heavy_hitters(df, ["a", "b"], k=2)._jdf.queryExecution(), "formatted"
+    )
+    assert p.count("Scan") <= 1
+    assert "Generate" in p  # the explode
+
+
+# ------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_equal_weights_matches_hash_sample(spark):
+    from matric_spark.operators.sampling import (
+        hash_sample,
+        weighted_hash_sample,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("w")
+    )
+    got = sorted(
+        r.doc_id
+        for r in weighted_hash_sample(
+            df, ["doc_id"], "w", 0.3, salt="s1"
+        ).collect()
+    )
+    want = sorted(
+        r.doc_id for r in hash_sample(df, ["doc_id"], 0.3, salt="s1").collect()
+    )
+    # equal weights ⇒ p_i == fraction exactly ⇒ identical selection
+    assert got == want
+    assert 0 < len(got) < 2000
+
+
+def test_weighted_sample_clips_and_scales(spark):
+    from matric_spark.operators.sampling import weighted_hash_sample
+
+    # one row carries virtually all weight: its p clips at 1.0 → always
+    # kept; zero-weight rows are never kept
+    rows = [(0, 10**9)] + [(i, 0) for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_hash_sample(df, ["doc_id"], "w", 0.1).collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].keep_prob == 1.0
+
+
+def test_weighted_sample_deterministic_across_partitioning(spark):
+    from matric_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13 + 1).alias("w")
+    )
+    a = {
+        r.doc_id
+        for r in weighted_hash_sample(df, ["doc_id"], "w", 0.25).collect()
+    }
+    b = {
+        r.doc_id
+        for r in weighted_hash_sample(
+            df.repartition(17), ["doc_id"], "w", 0.25
+        ).collect()
+    }
+    assert a == b and len(a) > 0
