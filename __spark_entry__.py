@@ -1037,6 +1037,18 @@ def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(_docs(spark, sf_dir), window=8)
 
 
+def q_conv_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation copied-run detection: duplicated 8-token
+    windows over whole-conversation tapes (the transcript analog of
+    exact-substring dedup — flags template reuse / copied tool outputs
+    that whole-tape fingerprinting misses)."""
+    from matric_spark.checks.sequence import conversation_tapes
+    from matric_spark.operators.dedup import duplicated_spans
+
+    tapes = conversation_tapes(transcript_df(spark, sf_dir))
+    return duplicated_spans(tapes, window=8, id_col="conv_id", text_col="tape")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnostic: exact global top-5 values per key column (incl.
     the high-cardinality conv_id — the shuffle key every heavy check
@@ -1131,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "doc_sample_strat": q_doc_sample_strat,
         "doc_dup_spans": q_doc_dup_spans,
+        "conv_dup_spans": q_conv_dup_spans,
         "heavy_hitters": q_heavy_hitters,
         "doc_sample_weighted": q_doc_sample_weighted,
         "text_parity": q_text_parity,
@@ -1660,6 +1673,14 @@ SELECT 'customer.c_nationkey->nation',
              ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)"""
 
     sql["doc_dup_spans"] = dk.duplicated_spans_sql(window=8)
+
+    sql["conv_dup_spans"] = dk.duplicated_spans_sql(
+        window=8,
+        src="tapes",
+        extra_ctes=(
+            f"transcripts AS ({TRANSCRIPT_VIEW_SQL}),\n{_TAPE_CTES},\n"
+        ),
+    )
 
     sql["heavy_hitters"] = f"""{_T}{dk.heavy_hitters_sql(
         ['role', 'tool', 'part_month', 'conv_id'], k=5

@@ -980,16 +980,20 @@ def hash_split_sql(
     return f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
 
 
-def duplicated_spans_sql(window: int = 8) -> str:
+def duplicated_spans_sql(
+    window: int = 8, src: str = "documents", extra_ctes: str = ""
+) -> str:
     """Mirrors operators/dedup.duplicated_spans: width-`window` token
     windows hashed with the shared md5 construction; hashes occurring at
     >1 (doc, position) flag their positions; flagged windows merge into
     maximal covered runs per doc via the identical island-merge window
-    (pos is unique per doc, so no ORDER BY tie semantics to align)."""
+    (pos is unique per doc, so no ORDER BY tie semantics to align).
+    `src`/`extra_ctes` retarget the scan to any (doc_id, text)-shaped
+    CTE (e.g. conversation tapes), like ngram_jaccard_sql."""
     norm = NORM.format(col="text")
     w = window
     return f"""
-WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+WITH {extra_ctes}t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM {src}),
 base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
 wins AS (
   SELECT doc_id, n_tokens, i - 1 AS pos,

@@ -271,6 +271,10 @@ def duplicated_spans(
     corpus-prep engineering following its distinct-before-fanout
     discipline (R/sim_calculate.R:293-299).
     """
+    from pyspark import StorageLevel
+
+    from matric_spark.functions.hashing import shingles_of
+
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(normalized_text(text_col), " ").alias("_toks"),
@@ -278,13 +282,23 @@ def duplicated_spans(
     base = staged.select(
         "doc_id", F.size("_toks").cast("long").alias("n_tokens"), "_toks"
     )
-    from matric_spark.functions.hashing import shingles_of
-
-    wins = base.select(
-        "doc_id",
-        "n_tokens",
-        F.posexplode(shingles_of(F.col("_toks"), window)).alias("pos", "sh"),
-    ).select("doc_id", "n_tokens", "pos", md5_long(F.col("sh")).alias("h"))
+    # `wins` feeds three consumers (dup-hash counts, position flagging,
+    # doc sizes); persist so the upstream — potentially an expensive
+    # derived relation like conversation tapes — is built ONCE. Every
+    # doc has >= 1 window (whole-text fallback), so per-doc sizes come
+    # from wins itself and the upstream is never re-scanned.
+    wins = (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode(shingles_of(F.col("_toks"), window)).alias(
+                "pos", "sh"
+            ),
+        )
+        .select("doc_id", "n_tokens", "pos", md5_long(F.col("sh")).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = wins.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -327,8 +341,7 @@ def duplicated_spans(
         F.sum(F.col("_e") - F.col("_s")).alias("dup_tokens"),
     )
     return (
-        base.select("doc_id", "n_tokens")
-        .join(per_doc, "doc_id", "left")
+        sizes.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
