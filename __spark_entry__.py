@@ -248,6 +248,42 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-shaped blocking: recall misses at cluster boundaries are
+    # inherent → no exact oracle (rows-only); soundness is oracle-gated
+    # by emb_ivf_soundness below and recall is differential-tested on
+    # planted clusters in pytest. nprobe=8 of 64 cells suits the
+    # near-random testdata embeddings (threshold 0.4).
+    from matric_spark.operators.ann import embedding_near_dup_ivf
+
+    return _round6(
+        embedding_near_dup_ivf(
+            _emb(spark, sf_dir), 0.4, n_centroids=64, nprobe=8
+        ),
+        ["cosine"],
+    )
+
+
+def q_emb_ivf_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundness gate for the SemDeDup/IVF near-dup path — same
+    containment invariant as `emb_lsh_soundness`: every emitted pair
+    must appear in the exact all-pairs result with an identical 6dp
+    cosine; the violation set must be empty."""
+    from matric_spark.operators.ann import (
+        embedding_near_dup,
+        embedding_near_dup_ivf,
+        lsh_soundness_violations,
+    )
+
+    emb = _emb(spark, sf_dir)
+    ivf = _round6(
+        embedding_near_dup_ivf(emb, 0.4, n_centroids=64, nprobe=8),
+        ["cosine"],
+    )
+    exact = _round6(embedding_near_dup(emb, 0.4), ["cosine"])
+    return lsh_soundness_violations(ivf, exact)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.ann import ann_topk_bruteforce
 
@@ -1095,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_lsh_soundness": q_emb_lsh_soundness,
+        "emb_near_dup_ivf": q_emb_near_dup_ivf,
+        "emb_ivf_soundness": q_emb_ivf_soundness,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_ivf_soundness": q_ann_ivf_soundness,
@@ -1486,6 +1524,9 @@ GROUP BY 1 HAVING count(*) > 1"""
     # for both rows-only entries (lsh rows ⊆ duckdb exact; ivf cosines ≡
     # duckdb recomputed, ≤k per qid).
     sql["emb_lsh_soundness"] = """
+SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
+       CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"""
+    sql["emb_ivf_soundness"] = """
 SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
        CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"""
     sql["ann_ivf_soundness"] = """

@@ -350,6 +350,65 @@ def embedding_near_dup_lsh(
     )
 
 
+def embedding_near_dup_ivf(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped near-dup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus with spherical k-means, then generate candidate
+    pairs only WITHIN clusters and verify with the exact cosine — the
+    third blocking family next to hyperplane LSH (random projections)
+    and MinHash (token sets), and the one that adapts to the data's own
+    density: clustered regions (where the near-dups are) land in the
+    same cell by construction.
+
+    Recall lever: each vector indexes into its `nprobe` nearest cells
+    (multi-probe), so a pair straddling a k-means boundary still meets
+    in the runner-up cell; recall is differential-tested on planted
+    clusters, soundness (pairs ⊆ exact result, identical cosine) is
+    oracle-gated via lsh_soundness_violations — verification recomputes
+    the true dot, so blocking can only drop pairs, never invent one.
+
+    Scale shape: candidates come from a self-equi-join on `cell`
+    carrying IDS ONLY; expected candidate count is Σ_c C(n_c·p, 2) —
+    N²·p²/n_centroids for balanced cells — vs the exact O(N²). Centroid
+    fitting moves k×d floats of model state per round; the corpus is
+    scanned, never collected. Skewed (dense) cells fall to AQE
+    skew-join; raising n_centroids is the structural lever.
+    """
+    normed = _normalized(emb, id_col, vec_col, "vec_id", "v")
+    cent = ivf_centroids(
+        emb, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    from matric_spark.functions.udfs import make_centroid_probe_udf
+
+    probe = make_centroid_probe_udf(cent, nprobe)
+    cells = normed.select(
+        "vec_id", F.explode(probe(F.col("v"))).alias("cell")
+    )
+    cand = (
+        cells.alias("x")
+        .join(cells.alias("y"), "cell")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id1"), F.col("y.vec_id").alias("id2")
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    feats = normed.select("vec_id", "v")
+    return (
+        cand.join(feats.withColumnsRenamed({"vec_id": "id1", "v": "v1"}), "id1")
+        .join(feats.withColumnsRenamed({"vec_id": "id2", "v": "v2"}), "id2")
+        .select("id1", "id2", dot("v1", "v2").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ------------------------------------------------------- soundness gates
 #
 # LSH/IVF *recall* is probabilistic and cannot have an exact oracle; their

@@ -471,3 +471,44 @@ def test_weighted_sample_deterministic_across_partitioning(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_embedding_near_dup_ivf_planted_recall(spark):
+    """SemDeDup-shaped blocking: planted clusters are near-dup by
+    construction AND dense in embedding space, so k-means puts each
+    plant's copies in the same cell and multi-probe covers boundary
+    straddles — assert high recall and exact soundness (ivf ⊆ exact),
+    plus determinism across two runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(30):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        for _ in range(3):
+            v = base + rng.normal(size=32) * 0.03
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from matric_spark.operators.ann import (
+        embedding_near_dup,
+        embedding_near_dup_ivf,
+    )
+
+    exact = {(r.id1, r.id2) for r in embedding_near_dup(emb, 0.95).collect()}
+    kwargs = dict(threshold=0.95, n_centroids=16, nprobe=4)
+    ivf = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_ivf(emb, **kwargs).collect()
+    }
+    assert ivf <= exact  # blocking never invents a pair
+    assert len(exact) >= 30
+    assert len(ivf) / len(exact) >= 0.9
+    again = {
+        (r.id1, r.id2)
+        for r in embedding_near_dup_ivf(emb, **kwargs).collect()
+    }
+    assert again == ivf  # hash-seeded k-means: fully deterministic
