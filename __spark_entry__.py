@@ -225,6 +225,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch novelty: per fresh doc (doc_id % 5 == 0), the
+    fraction of its 3-gram shingles unseen in the existing corpus (the
+    rest) — complements dedup_incremental's pairwise near-dup with an
+    "is any of this new at all" signal."""
+    from matric_spark.operators.dedup import shingle_novelty
+
+    docs = _docs(spark, sf_dir)
+    return shingle_novelty(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.ann import embedding_near_dup
 
@@ -1128,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_incremental": q_dedup_incremental,
+        "doc_novelty": q_doc_novelty,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "emb_lsh_soundness": q_emb_lsh_soundness,
@@ -1714,6 +1729,8 @@ SELECT 'customer.c_nationkey->nation',
              ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL) AS BIGINT)"""
 
     sql["doc_dup_spans"] = dk.duplicated_spans_sql(window=8)
+
+    sql["doc_novelty"] = dk.shingle_novelty_sql(n=3)
 
     sql["conv_dup_spans"] = dk.duplicated_spans_sql(
         window=8,

@@ -1067,3 +1067,23 @@ p AS (SELECT d.doc_id, d.n_chars,
       FROM documents d CROSS JOIN tot t)
 SELECT doc_id, n_chars, (round(keep_prob, 6) + 0) AS keep_prob
 FROM p WHERE {u} < keep_prob"""
+
+
+def shingle_novelty_sql(n: int = 3) -> str:
+    """Mirrors operators/dedup.shingle_novelty for the entry split
+    (doc_id % 5 == 0 plays the fresh ingest batch, the rest the existing
+    corpus), sharing the distinct-shingle-hash construction."""
+    return f"""
+WITH {_shingle_sets_sql(n)},
+new_sets AS (SELECT * FROM sets WHERE doc_id % 5 = 0),
+ref_h AS (SELECT DISTINCT h FROM sets WHERE doc_id % 5 <> 0),
+novel AS (SELECT s.doc_id FROM new_sets s ANTI JOIN ref_h USING (h)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM new_sets GROUP BY 1),
+nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       FROM novel GROUP BY 1)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       (round(coalesce(nv.n_novel, 0) / CAST(s.n_shingles AS DOUBLE), 6) + 0)
+         AS novelty
+FROM sizes s LEFT JOIN nv USING (doc_id)"""

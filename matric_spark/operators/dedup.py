@@ -232,6 +232,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_novelty(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Per NEW doc, the fraction of its n-gram shingles unseen anywhere
+    in the REFERENCE corpus → DataFrame[doc_id, n_shingles, n_novel,
+    novelty] (one row per new doc).
+
+    The ingest-time novelty metric that complements cross-set near-dup
+    (`minhash_lsh_pairs_against`): near-dup answers "is this almost a
+    copy of ONE existing doc", novelty answers "how much of this is new
+    AT ALL" — boilerplate stitched from many corpus fragments scores
+    near-zero novelty while passing every pairwise check.
+
+    Scale shape: the reference side reduces to a DISTINCT shingle-hash
+    relation — a pure function of the corpus, computed once per ingest
+    epoch (materialize it bucketed by h, like the banded-signature note
+    on minhash_lsh_pairs_against) — and the new batch anti-joins it
+    keyed on h. Ids and 60-bit hashes only; nothing is O(|new|×|ref|).
+    """
+    sets_new = shingle_sets(new_docs, n=n)
+    ref_h = shingle_sets(ref_docs, n=n).select("h").distinct()
+    sizes = sets_new.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    novel = (
+        sets_new.join(ref_h, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        (
+            F.round(
+                F.coalesce("n_novel", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("novelty"),
+    )
+
+
 # ------------------------------------------------- duplicated spans
 
 

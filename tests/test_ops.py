@@ -512,3 +512,25 @@ def test_embedding_near_dup_ivf_planted_recall(spark):
         for r in embedding_near_dup_ivf(emb, **kwargs).collect()
     }
     assert again == ivf  # hash-seeded k-means: fully deterministic
+
+
+def test_shingle_novelty_closed_form(spark):
+    from matric_spark.operators.dedup import shingle_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (0, "a b c d e"),      # exact copy → nothing novel
+            (1, "a b c x y z"),    # shares only 'a b c' → 3/4 novel
+            (2, "q r s t"),        # fully novel
+            (3, "hi"),             # short-doc whole-text shingle, novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in shingle_novelty(new, ref, n=3).collect()}
+    assert (out[0].n_shingles, out[0].n_novel, out[0].novelty) == (3, 0, 0.0)
+    assert (out[1].n_shingles, out[1].n_novel, out[1].novelty) == (4, 3, 0.75)
+    assert (out[2].n_shingles, out[2].n_novel, out[2].novelty) == (2, 2, 1.0)
+    assert (out[3].n_shingles, out[3].n_novel, out[3].novelty) == (1, 1, 1.0)
