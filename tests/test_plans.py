@@ -324,3 +324,48 @@ def test_conv_verdicts_single_shuffle(spark):
 
     n_exchanges = len(re.findall(r"\n\(\d+\) Exchange\b", p))
     assert n_exchanges == 1, p
+
+
+def test_duplicated_spans_flags_by_semi_join_no_fanout(spark):
+    """Position flagging joins the duplicated-hash set LEFT SEMI — a hot
+    window hash must never fan out candidate rows — and nothing in the
+    plan is a cartesian/nested-loop."""
+    from matric_spark.operators.dedup import duplicated_spans
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("w1 w2 w3 w4 w5"), F.col("id").cast("string")).alias("text"),
+    )
+    p = plan(duplicated_spans(docs, window=4))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_shingle_novelty_is_keyed_anti_join(spark):
+    """The reference corpus reduces to a distinct hash relation and the
+    new batch anti-joins it on h: LeftAnti, keyed, no nested loop."""
+    from matric_spark.operators.dedup import shingle_novelty
+
+    mk = lambda n0: spark.range(n0, n0 + 40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.lit("a b c"), F.col("id").cast("string")).alias("text"),
+    )
+    p = plan(shingle_novelty(mk(0), mk(1000)))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_weighted_sample_corpus_side_never_shuffles(spark):
+    """The only exchanges are the tiny global (sum_w, n) aggregate and
+    its broadcast back — the corpus itself is filtered in place (no
+    hash-partitioned shuffle of data rows)."""
+    from matric_spark.operators.sampling import weighted_hash_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    p = plan(weighted_hash_sample(df, ["doc_id"], "w", 0.2))
+    assert "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p
