@@ -993,7 +993,8 @@ def duplicated_spans_sql(
     norm = NORM.format(col="text")
     w = window
     return f"""
-WITH {extra_ctes}t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM {src}),
+WITH {extra_ctes}t AS (SELECT doc_id, string_split({norm}, ' ') AS toks
+     FROM {src} WHERE text IS NOT NULL),
 base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
 wins AS (
   SELECT doc_id, n_tokens, i - 1 AS pos,
@@ -1056,13 +1057,19 @@ def weighted_sample_sql(
     """Mirrors operators/sampling.weighted_hash_sample on `documents`
     with weight = n_chars: identical IEEE op order
     ((fraction * w) * n) / sum_w against the shared md5 uniform draw, so
-    the SELECTION (not just the reported prob) is bit-identical."""
+    the SELECTION (not just the reported prob) is bit-identical. The
+    fraction literal MUST be cast to DOUBLE: DuckDB types `0.2` as
+    DECIMAL(2,1) and would compute (0.2 * w) * n in exact decimal with
+    ONE rounding to double, while Spark rounds after each multiply —
+    a last-ulp keep_prob gap that flips the u < p selection for draws
+    landing inside it."""
     u = hash_uniform_sql(["doc_id"], salt)
     return f"""
 WITH tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS sum_w,
                     CAST(count(*) AS BIGINT) AS n FROM documents),
 p AS (SELECT d.doc_id, d.n_chars,
-             least(1.0, ({fraction!r} * d.n_chars) * t.n / CAST(t.sum_w AS DOUBLE))
+             least(1.0, (CAST({fraction!r} AS DOUBLE) * d.n_chars) * t.n
+                        / CAST(t.sum_w AS DOUBLE))
                AS keep_prob
       FROM documents d CROSS JOIN tot t)
 SELECT doc_id, n_chars, (round(keep_prob, 6) + 0) AS keep_prob
@@ -1072,9 +1079,11 @@ FROM p WHERE {u} < keep_prob"""
 def shingle_novelty_sql(n: int = 3) -> str:
     """Mirrors operators/dedup.shingle_novelty for the entry split
     (doc_id % 5 == 0 plays the fresh ingest batch, the rest the existing
-    corpus), sharing the distinct-shingle-hash construction."""
+    corpus), sharing the distinct-shingle-hash construction. NULL-text
+    docs are excluded on both engines (see shingle_novelty)."""
     return f"""
-WITH {_shingle_sets_sql(n)},
+WITH docs_nn AS (SELECT * FROM documents WHERE text IS NOT NULL),
+{_shingle_sets_sql(n, src='docs_nn')},
 new_sets AS (SELECT * FROM sets WHERE doc_id % 5 = 0),
 ref_h AS (SELECT DISTINCT h FROM sets WHERE doc_id % 5 <> 0),
 novel AS (SELECT s.doc_id FROM new_sets s ANTI JOIN ref_h USING (h)),

@@ -381,7 +381,12 @@ def embedding_near_dup_ivf(
     scanned, never collected. Skewed (dense) cells fall to AQE
     skew-join; raising n_centroids is the structural lever.
     """
-    normed = _normalized(emb, id_col, vec_col, "vec_id", "v")
+    # isNotNull guard: _normalized leaves v NULL for zero-norm or NULL
+    # embeddings, and the probe UDF's np.stack would crash on a None —
+    # same guard ivf_centroids applies before its assign UDF.
+    normed = _normalized(emb, id_col, vec_col, "vec_id", "v").filter(
+        F.col("v").isNotNull()
+    )
     cent = ivf_centroids(
         emb, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )

@@ -239,7 +239,7 @@ def shingle_novelty(
 ) -> DataFrame:
     """Per NEW doc, the fraction of its n-gram shingles unseen anywhere
     in the REFERENCE corpus → DataFrame[doc_id, n_shingles, n_novel,
-    novelty] (one row per new doc).
+    novelty] (one row per new doc with non-NULL text).
 
     The ingest-time novelty metric that complements cross-set near-dup
     (`minhash_lsh_pairs_against`): near-dup answers "is this almost a
@@ -253,8 +253,21 @@ def shingle_novelty(
     on minhash_lsh_pairs_against) — and the new batch anti-joins it
     keyed on h. Ids and 60-bit hashes only; nothing is O(|new|×|ref|).
     """
-    sets_new = shingle_sets(new_docs, n=n)
-    ref_h = shingle_sets(ref_docs, n=n).select("h").distinct()
+    from pyspark import StorageLevel
+
+    # NULL-text docs carry no shingles on either engine (Spark's
+    # concat_ws('') fallback would otherwise mint an ''-shingle the
+    # DuckDB list comprehension never produces); `sets_new` feeds two
+    # consumers (sizes + anti-join), so persist like
+    # minhash_lsh_pairs_against does for the same shape.
+    sets_new = shingle_sets(
+        new_docs.filter(F.col("text").isNotNull()), n=n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ref_h = (
+        shingle_sets(ref_docs.filter(F.col("text").isNotNull()), n=n)
+        .select("h")
+        .distinct()
+    )
     sizes = sets_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -302,8 +315,12 @@ def duplicated_spans(
     tokens contribute one whole-text window (shingles_of fallback), so
     short exact duplicates still surface.
 
-    Returns one row per input doc (zero-filled when clean):
-    DataFrame[doc_id, n_tokens, n_dup_windows, dup_tokens, dup_frac].
+    Returns one row per input doc with non-NULL text (zero-filled when
+    clean): DataFrame[doc_id, n_tokens, n_dup_windows, dup_tokens,
+    dup_frac]. NULL-text docs are excluded — they have no tokens, and
+    the concat_ws('') fallback shingle would otherwise make every pair
+    of NULL-text docs flag each other as duplicates (the DuckDB oracle
+    mirrors the exclusion).
 
     Scale shape: windows hash to 60-bit longs; the duplicated-hash set
     comes from ONE map-side-combinable count aggregate keyed on the
@@ -321,7 +338,7 @@ def duplicated_spans(
 
     from matric_spark.functions.hashing import shingles_of
 
-    staged = docs.select(
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.split(normalized_text(text_col), " ").alias("_toks"),
     )

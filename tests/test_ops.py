@@ -534,3 +534,54 @@ def test_shingle_novelty_closed_form(spark):
     assert (out[1].n_shingles, out[1].n_novel, out[1].novelty) == (4, 3, 0.75)
     assert (out[2].n_shingles, out[2].n_novel, out[2].novelty) == (2, 2, 1.0)
     assert (out[3].n_shingles, out[3].n_novel, out[3].novelty) == (1, 1, 1.0)
+
+
+def test_duplicated_spans_null_text_excluded(spark):
+    """NULL-text docs must be excluded, not treated as ''-window dups of
+    each other (which would also diverge from the DuckDB oracle, whose
+    NULL shingle hash never semi-joins)."""
+    from matric_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, None), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicated_spans(docs, window=4).collect()}
+    assert set(out) == {2}
+    assert (out[2].n_dup_windows, out[2].dup_tokens) == (0, 0)
+
+
+def test_shingle_novelty_null_text_excluded(spark):
+    from matric_spark.operators.dedup import shingle_novelty
+
+    new = spark.createDataFrame(
+        [(0, None), (1, "p q r")], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(100, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in shingle_novelty(new, ref, n=3).collect()}
+    # NULL-text new doc excluded; NULL-text ref contributes no shingles,
+    # so doc 1 is fully novel
+    assert set(out) == {1}
+    assert (out[1].n_shingles, out[1].n_novel, out[1].novelty) == (1, 1, 1.0)
+
+
+def test_embedding_near_dup_ivf_tolerates_null_and_zero_vectors(spark):
+    import numpy as np
+
+    from matric_spark.operators.ann import embedding_near_dup_ivf
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(20):
+        v = rng.normal(size=8)
+        rows.append((vid, [float(x) for x in v]))
+    rows.append((20, [0.0] * 8))   # zero-norm → v NULL after normalize
+    rows.append((21, None))        # NULL embedding
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dup_ivf(
+        emb, threshold=0.99, n_centroids=4, nprobe=2
+    ).collect()
+    ids = {i for r in out for i in (r.id1, r.id2)}
+    assert 20 not in ids and 21 not in ids  # and, crucially, no crash
