@@ -124,6 +124,27 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["psi"])
 
 
+def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift of text length per partition cohort vs its
+    complement — the integral counterpart of drift_ks's max gap."""
+    from matric_spark.checks.drift import emd_by_partition
+
+    t = transcript_df(spark, sf_dir)
+    out = emd_by_partition(t, "part_month", F.length("text"))
+    return _round6(out, ["emd"])
+
+
+def q_colstats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the text-length distribution per partition —
+    a collapsing domain (template takeover) drops entropy before any
+    referential/drift check fires."""
+    from matric_spark.checks.drift import entropy_by_partition
+
+    t = transcript_df(spark, sf_dir)
+    out = entropy_by_partition(t, "part_month", F.length("text"))
+    return _round6(out, ["entropy"])
+
+
 def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcript_df(spark, sf_dir)
     return _round6(run_verdicts(t, SuiteConfig()), ["metric"])
@@ -1154,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_out_of_order": q_seq_out_of_order,
         "drift_ks": q_drift_ks,
         "drift_psi": q_drift_psi,
+        "drift_emd": q_drift_emd,
+        "colstats_entropy": q_colstats_entropy,
         "verdicts": q_verdicts,
         "doc_text_stats": q_doc_text_stats,
         "doc_langid": q_doc_langid,
@@ -1369,6 +1392,39 @@ WHERE ts < prev_max"""
     sql["drift_ks"] = f"""{_T},
 {_KS_CTES}
 {_KS_P_SELECT.format(part_out="part_month")}"""
+
+    sql["drift_emd"] = f"""{_T},
+cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
+        FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT p, CAST(sum(c) AS BIGINT) np FROM cnt GROUP BY 1),
+tot AS (SELECT v, CAST(sum(c) AS BIGINT) ct FROM cnt GROUP BY 1),
+ntot AS (SELECT CAST(sum(np) AS BIGINT) n_total FROM parts),
+grid AS (SELECT parts.p, parts.np, tot.v, tot.ct FROM parts CROSS JOIN tot),
+jj AS (SELECT g.p, g.np, g.v, g.ct, COALESCE(cnt.c, 0) c, ntot.n_total
+       FROM grid g LEFT JOIN cnt ON cnt.p = g.p AND cnt.v = g.v CROSS JOIN ntot),
+cum AS (SELECT p, np, n_total, v,
+               sum(c)  OVER (PARTITION BY p ORDER BY v) cum_c,
+               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t,
+               lead(v) OVER (PARTITION BY p ORDER BY v) next_v
+        FROM jj),
+e AS (SELECT p, np AS n_part, n_total - np AS n_rest,
+             sum(coalesce(abs(CAST(cum_c AS DOUBLE) / np
+                              - CAST(cum_t - cum_c AS DOUBLE) / (n_total - np))
+                          * CAST(next_v - v AS DOUBLE), 0.0)) AS emd
+      FROM cum GROUP BY p, np, n_total)
+SELECT p AS part_month, n_part, n_rest, (round(emd, 6) + 0) AS emd FROM e"""
+
+    sql["colstats_entropy"] = f"""{_T},
+cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
+        FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT p, CAST(sum(c) AS BIGINT) np,
+                 CAST(count(*) AS BIGINT) n_values FROM cnt GROUP BY 1),
+e AS (SELECT c.p, parts.np, parts.n_values,
+             -sum((CAST(c.c AS DOUBLE) / parts.np)
+                  * ln(CAST(c.c AS DOUBLE) / parts.np)) AS h
+      FROM cnt c JOIN parts ON parts.p = c.p GROUP BY 1, 2, 3)
+SELECT p AS part_month, np AS n_part, n_values,
+       (round(h, 6) + 0) AS entropy FROM e"""
 
     sql["events_drift"] = f"""WITH
 {_ks_ctes(

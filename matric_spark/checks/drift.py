@@ -144,3 +144,91 @@ def psi_by_partition(
         .agg(F.first("np").alias("n_part"), F.sum(contrib).alias("psi"))
         .select(F.col("p").alias(partition_col), "n_part", "psi")
     )
+
+
+def emd_by_partition(
+    df: DataFrame,
+    partition_col: str,
+    value: Column,
+    precomputed: DataFrame | None = None,
+) -> DataFrame:
+    """Earth-mover (Wasserstein-1) distance of each partition's value
+    distribution vs its complement, over the observed value grid:
+
+        W1 = sum_i |F_part(v_i) - F_rest(v_i)| * (v_{i+1} - v_i)
+
+    — the integral counterpart of KS's max gap: KS fires on ANY shape
+    change however thin, EMD weighs how much mass moved how far (in
+    value units), so the two together separate "a spike appeared" from
+    "the whole distribution shifted". Same aggregates-only shape as
+    ks_by_partition (shares its (p, v, c) sketch via ``precomputed``);
+    output (partition_col, n_part, n_rest, emd).
+    """
+    cnt = precomputed if precomputed is not None else _counts(df, partition_col, value)
+    parts = cnt.groupBy("p").agg(F.sum("c").alias("np"))
+    tot = cnt.groupBy("v").agg(F.sum("c").alias("ct"))
+    n_total = parts.agg(F.sum("np").alias("n_total"))
+
+    grid = parts.crossJoin(tot.select("v"))
+    j = (
+        grid.join(cnt, on=["p", "v"], how="left")
+        .fillna(0, subset=["c"])
+        .join(tot, on="v")
+        .crossJoin(F.broadcast(n_total))
+    )
+    w = Window.partitionBy("p").orderBy("v")
+    cum = j.select(
+        "p",
+        "np",
+        "n_total",
+        "v",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("ct").over(w).alias("cum_t"),
+        F.lead("v").over(w).alias("next_v"),
+    )
+    gap = F.abs(
+        F.col("cum_c") / F.col("np")
+        - (F.col("cum_t") - F.col("cum_c")) / (F.col("n_total") - F.col("np"))
+    )
+    # the last grid point has no width (lead is NULL) → contributes 0
+    area = F.coalesce(
+        gap * (F.col("next_v") - F.col("v")).cast("double"), F.lit(0.0)
+    )
+    return (
+        cum.groupBy("p")
+        .agg(
+            F.first("np").alias("n_part"),
+            (F.first("n_total") - F.first("np")).alias("n_rest"),
+            F.sum(area).alias("emd"),
+        )
+        .select(F.col("p").alias(partition_col), "n_part", "n_rest", "emd")
+    )
+
+
+def entropy_by_partition(
+    df: DataFrame,
+    partition_col: str,
+    value: Column,
+    precomputed: DataFrame | None = None,
+) -> DataFrame:
+    """Shannon entropy (nats) of the value distribution within each
+    partition → (partition_col, n_part, n_values, entropy). A collapsing
+    domain (template takeover, a stuck producer) shows up as an entropy
+    drop before any referential or drift check fires. Aggregates only:
+    the (p, v, c) sketch is the sole input (shareable via
+    ``precomputed``)."""
+    cnt = precomputed if precomputed is not None else _counts(df, partition_col, value)
+    parts = cnt.groupBy("p").agg(
+        F.sum("c").alias("np"), F.count(F.lit(1)).alias("n_values")
+    )
+    j = cnt.join(parts, "p")
+    frac = F.col("c") / F.col("np")
+    return (
+        j.groupBy("p")
+        .agg(
+            F.first("np").alias("n_part"),
+            F.first("n_values").alias("n_values"),
+            (-F.sum(frac * F.log(frac))).alias("entropy"),
+        )
+        .select(F.col("p").alias(partition_col), "n_part", "n_values", "entropy")
+    )

@@ -351,3 +351,51 @@ def test_conv_token_stats(tiny_transcripts):
     assert out["B"].n_turns == 5
     # budget flag is on bpe tokens
     assert out["A"].over_budget == (out["A"].n_bpe_tokens > 4)
+
+
+def test_emd_by_partition_closed_form(spark):
+    """Two point masses one value-unit apart: each cohort's EMD vs its
+    complement is exactly 1.0 (all mass moves distance 1)."""
+    from matric_spark.checks.drift import emd_by_partition
+
+    rows = [("A", 0), ("A", 0), ("B", 1), ("B", 1)]
+    df = spark.createDataFrame(rows, "p string, v int")
+    out = {r.p: r for r in emd_by_partition(df, "p", F.col("v")).collect()}
+    assert out["A"].emd == 1.0 and out["B"].emd == 1.0
+    assert out["A"].n_part == 2 and out["A"].n_rest == 2
+
+
+def test_emd_vs_ks_sensitivity(spark):
+    """A small shift moves EMD proportionally to distance while KS only
+    sees the overlap fraction: shifting one cohort by 10 value units
+    yields EMD 10× the 1-unit shift, same KS."""
+    from matric_spark.checks.drift import emd_by_partition, ks_by_partition
+
+    near = spark.createDataFrame(
+        [("A", 0)] * 4 + [("B", 1)] * 4, "p string, v int"
+    )
+    far = spark.createDataFrame(
+        [("A", 0)] * 4 + [("B", 10)] * 4, "p string, v int"
+    )
+    emd_near = emd_by_partition(near, "p", F.col("v")).collect()[0].emd
+    emd_far = emd_by_partition(far, "p", F.col("v")).collect()[0].emd
+    ks_near = ks_by_partition(near, "p", F.col("v")).collect()[0].ks_d
+    ks_far = ks_by_partition(far, "p", F.col("v")).collect()[0].ks_d
+    assert emd_far == 10 * emd_near
+    assert ks_near == ks_far == 1.0
+
+
+def test_entropy_by_partition_closed_form(spark):
+    import math
+
+    from matric_spark.checks.drift import entropy_by_partition
+
+    rows = (
+        [("A", 0), ("A", 0), ("A", 1), ("A", 1)]  # uniform over 2 → ln 2
+        + [("B", 5), ("B", 5), ("B", 5)]          # degenerate → 0
+    )
+    df = spark.createDataFrame(rows, "p string, v int")
+    out = {r.p: r for r in entropy_by_partition(df, "p", F.col("v")).collect()}
+    assert abs(out["A"].entropy - math.log(2)) < 1e-12
+    assert out["A"].n_values == 2
+    assert out["B"].entropy == 0.0 and out["B"].n_values == 1
