@@ -124,6 +124,15 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["psi"])
 
 
+def q_partition_spillover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversations whose turns span >1 part_month partition — the
+    partition-hygiene check behind pruned resume/re-validation scans."""
+    from matric_spark.checks.sequence import partition_spillover
+
+    t = transcript_df(spark, sf_dir)
+    return partition_spillover(t, ["conv_id"], "part_month")
+
+
 def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wasserstein-1 drift of text length per partition cohort vs its
     complement — the integral counterpart of drift_ks's max gap."""
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "drift_psi": q_drift_psi,
         "drift_emd": q_drift_emd,
+        "partition_spillover": q_partition_spillover,
         "colstats_entropy": q_colstats_entropy,
         "verdicts": q_verdicts,
         "doc_text_stats": q_doc_text_stats,
@@ -1392,6 +1402,13 @@ WHERE ts < prev_max"""
     sql["drift_ks"] = f"""{_T},
 {_KS_CTES}
 {_KS_P_SELECT.format(part_out="part_month")}"""
+
+    sql["partition_spillover"] = f"""{_T}
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT part_month) AS BIGINT) AS n_partitions,
+       min(part_month) AS part_min, max(part_month) AS part_max
+FROM transcripts GROUP BY conv_id
+HAVING count(DISTINCT part_month) > 1"""
 
     sql["drift_emd"] = f"""{_T},
 cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c

@@ -356,3 +356,34 @@ def text_parity(df: DataFrame, reference: DataFrame) -> DataFrame:
     b = seq(reference, "text_expected").drop("turn_idx")
     joined = a.join(b, on=["conv_id", "seq"], how="full_outer")
     return joined.filter(~F.col("text_actual").eqNullSafe(F.col("text_expected")))
+
+
+def partition_spillover(
+    df: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> DataFrame:
+    """Keys whose rows span MORE THAN ONE partition → one row per
+    spilled key: (key..., n_rows, n_partitions, part_min, part_max).
+
+    The partition-hygiene check behind every pruning claim: state
+    resume, per-partition verdicts and partition-pruned re-validation
+    all assume a conversation lives in one partition — a conv_id
+    spilling across part_month means a scan planned for one partition
+    silently misses turns. min/max bound the spill extent (adjacent
+    months = a boundary straddle; distant = a corrupt key).
+
+    One combinable aggregate (count + count_distinct + min/max) keyed on
+    the conversation key — same two-phase shape as the uniqueness check,
+    so it scales identically (the shuffle carries key + 4 scalars).
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col(partition_col)).alias("n_partitions"),
+            F.min(partition_col).alias("part_min"),
+            F.max(partition_col).alias("part_max"),
+        )
+        .filter(F.col("n_partitions") > 1)
+    )
