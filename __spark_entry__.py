@@ -459,6 +459,18 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(tfidf_topk(_docs(spark, sf_dir), k=5), ["score"])
 
 
+def q_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language over the top-500 vocabulary: slope
+    ≈ −1 and high r² for natural text; flattened/broken fits flag
+    template floods or generated gibberish."""
+    from matric_spark.operators.text_analysis import zipf_fit
+
+    return _round6(
+        zipf_fit(_docs(spark, sf_dir), top_n=500),
+        ["slope", "intercept", "r2"],
+    )
+
+
 def q_conv_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-conversation content fingerprints + dup-group resolution."""
     from matric_spark.checks.sequence import conversation_fingerprint
@@ -1246,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_report": q_filter_report,
         "term_df": q_term_df,
         "tfidf_topk": q_tfidf_topk,
+        "vocab_zipf": q_vocab_zipf,
         "conv_fingerprint": q_conv_fingerprint,
         "doc_split_assign": q_doc_split_assign,
         "corpus_mix": q_corpus_mix,
@@ -1741,6 +1754,8 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
     sql["filter_report"] = dk.filter_report_sql()
     sql["term_df"] = dk.term_df_sql(2)
     sql["tfidf_topk"] = dk.tfidf_topk_sql(5, 1)
+
+    sql["vocab_zipf"] = dk.zipf_fit_sql(top_n=500)
 
     sql["conv_fingerprint"] = f"""{_T},
 {_TAPE_CTES},

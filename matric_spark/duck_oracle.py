@@ -1096,3 +1096,38 @@ SELECT s.doc_id, s.n_shingles,
        (round(coalesce(nv.n_novel, 0) / CAST(s.n_shingles AS DOUBLE), 6) + 0)
          AS novelty
 FROM sizes s LEFT JOIN nv USING (doc_id)"""
+
+
+def zipf_fit_sql(top_n: int = 500) -> str:
+    """Mirrors operators/text_analysis.zipf_fit: per-lang OLS of
+    ln(total tf) on ln(rank) over the top_n vocabulary, with the
+    identical float op ORDER in slope/intercept/r2 (per-term sums are
+    engine-order floating sums; round6 absorbs the ~1e-12 associativity
+    spread, as in psi/lm_score)."""
+    norm = NORM.format(col="text")
+    slope = "(sxy - sx*sy/n) / (sxx - sx*sx/n)"
+    return f"""
+WITH pd AS (
+  SELECT lang AS g, doc_id, unnest(string_split({norm}, ' ')) AS token
+  FROM documents),
+per_doc AS (SELECT g, doc_id, token, CAST(count(*) AS BIGINT) tf
+            FROM pd GROUP BY 1, 2, 3),
+vocab AS (SELECT g, token, CAST(sum(tf) AS BIGINT) tf
+          FROM per_doc GROUP BY 1, 2),
+ranked AS (
+  SELECT g, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+  FROM (SELECT g, tf,
+               row_number() OVER (PARTITION BY g
+                                  ORDER BY tf DESC, token ASC) AS r
+        FROM vocab) z
+  WHERE r <= {top_n}),
+s AS (SELECT g, CAST(count(*) AS BIGINT) n,
+             sum(x) sx, sum(y) sy, sum(x*y) sxy,
+             sum(x*x) sxx, sum(y*y) syy
+      FROM ranked GROUP BY 1)
+SELECT g AS lang, n AS n_terms,
+       (round({slope}, 6) + 0) AS slope,
+       (round((sy - ({slope}) * sx) / n, 6) + 0) AS intercept,
+       (round((sxy - sx*sy/n) * (sxy - sx*sy/n)
+              / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) + 0) AS r2
+FROM s"""

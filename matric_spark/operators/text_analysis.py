@@ -368,3 +368,73 @@ def corpus_quality(docs: DataFrame) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 500, group_col: str = "lang") -> DataFrame:
+    """Zipf's-law fit per `group_col`: OLS of ln(term_frequency) on
+    ln(rank) over each group's `top_n` most frequent tokens →
+    DataFrame[group_col, n_terms, slope, intercept, r2].
+
+    The corpus-health diagnostic behind "does this look like natural
+    language": clean prose fits ln(tf) ≈ intercept − s·ln(rank) with
+    s ≈ 1 and high r²; boilerplate/template floods flatten the head
+    (s « 1), spam/generated gibberish breaks linearity (low r²) — a
+    whole-corpus complement to the per-doc quality cascade
+    (filter_report).
+
+    Scale shape: tokens are pre-counted per doc before the vocabulary
+    rollup (same two-phase shuffle discipline as term_df), the ranking
+    window partitions BY GROUP (no single-partition exchange), and the
+    regression consumes top_n aggregated rows per group — the raw table
+    is scanned once. Tie-break (tf desc, token asc) is deterministic on
+    both engines.
+    """
+    from pyspark.sql import Window
+
+    from matric_spark.operators.dedup import normalized_text
+
+    per_doc = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            "doc_id",
+            F.explode(F.split(normalized_text("text"), " ")).alias("token"),
+        )
+        .groupBy("g", "doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = per_doc.groupBy("g", "token").agg(F.sum("tf").alias("tf"))
+    w = Window.partitionBy("g").orderBy(F.desc("tf"), F.asc("token"))
+    ranked = (
+        vocab.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= top_n)
+        .select(
+            "g",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("tf").cast("double")).alias("y"),
+        )
+    )
+    s = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # fixed float op ORDER, mirrored verbatim by the DuckDB oracle.
+    # Degenerate groups (zero variance in rank or tf — e.g. a single
+    # term, or a perfectly flat vocabulary) yield NULL slope/intercept/
+    # r2: the F.when guards keep ANSI mode from raising DIVIDE_BY_ZERO.
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = F.when(varx != 0, cov / varx)
+    return s.select(
+        F.col("g").alias(group_col),
+        F.col("n").alias("n_terms"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        F.when((varx != 0) & (vary != 0), cov * cov / (varx * vary)).alias(
+            "r2"
+        ),
+    )

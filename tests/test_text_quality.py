@@ -246,3 +246,28 @@ def test_filter_report_rules_and_reasons(spark):
     assert not out[5].kept and "token_len" in out[5].reasons
     # short docs also trip the quality composite
     assert "low_quality" in out[1].reasons
+
+
+def test_zipf_fit_planted_power_law(spark):
+    """A corpus built to follow tf(r) = C/r exactly fits slope ≈ -1 with
+    r² ≈ 1; a degenerate single-term group has zero rank variance and
+    yields NULLs instead of an ANSI divide-by-zero error."""
+    from matric_spark.operators.text_analysis import zipf_fit
+
+    words = []
+    for i in range(1, 21):
+        words += [f"w{i:02d}"] * round(720 / i)
+    zipfy = spark.createDataFrame(
+        [(0, "en", " ".join(words))], "doc_id long, lang string, text string"
+    )
+    r = zipf_fit(zipfy, top_n=20).collect()[0]
+    assert r.n_terms == 20
+    assert -1.05 < r.slope < -0.95
+    assert r.r2 > 0.99
+
+    single = spark.createDataFrame(
+        [(0, "en", "same same same")], "doc_id long, lang string, text string"
+    )
+    d = zipf_fit(single, top_n=20).collect()[0]
+    assert d.n_terms == 1
+    assert d.slope is None and d.intercept is None and d.r2 is None
