@@ -113,14 +113,16 @@ def q_seq_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcript_df(spark, sf_dir)
-    out = ks_by_partition(t, "part_month", F.length("text"))
+    out = ks_by_partition(
+        None, "part_month", None, precomputed=_drift_sketch(spark, sf_dir)
+    )
     return _round6(out, ["ks_d", "ks_p"])
 
 
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcript_df(spark, sf_dir)
-    out = psi_by_partition(t, "part_month", F.length("text"))
+    out = psi_by_partition(
+        None, "part_month", None, precomputed=_drift_sketch(spark, sf_dir)
+    )
     return _round6(out, ["psi"])
 
 
@@ -138,8 +140,9 @@ def q_drift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement — the integral counterpart of drift_ks's max gap."""
     from matric_spark.checks.drift import emd_by_partition
 
-    t = transcript_df(spark, sf_dir)
-    out = emd_by_partition(t, "part_month", F.length("text"))
+    out = emd_by_partition(
+        None, "part_month", None, precomputed=_drift_sketch(spark, sf_dir)
+    )
     return _round6(out, ["emd"])
 
 
@@ -149,8 +152,9 @@ def q_colstats_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     referential/drift check fires."""
     from matric_spark.checks.drift import entropy_by_partition
 
-    t = transcript_df(spark, sf_dir)
-    out = entropy_by_partition(t, "part_month", F.length("text"))
+    out = entropy_by_partition(
+        None, "part_month", None, precomputed=_drift_sketch(spark, sf_dir)
+    )
     return _round6(out, ["entropy"])
 
 
@@ -546,6 +550,28 @@ def _collated_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_sim(
         coll, pop, kernel="cosine", vec_col="embedding", keep_cols=["type"]
     )
+
+
+_DRIFT_SKETCH_CACHE: dict[str, str] = {}
+
+
+def _drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (p, v, c) counts sketch over (part_month, length(text)) —
+    the shared input of drift_ks / drift_psi / drift_emd /
+    colstats_entropy — materialized ONCE per (process, sf_dir) in the
+    _tapes/_level10 style, so four gated entries cost one table scan."""
+    path = _DRIFT_SKETCH_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from matric_spark.checks.drift import counts_sketch
+
+        t = transcript_df(spark, sf_dir)
+        out = counts_sketch(t, "part_month", F.length("text"))
+        path = tempfile.mkdtemp(prefix="graft_drift_") + "/sketch.parquet"
+        out.write.parquet(path)
+        _DRIFT_SKETCH_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 _TAPES_CACHE: dict[str, str] = {}
@@ -1287,9 +1313,10 @@ ntot AS (SELECT CAST(sum(np) AS BIGINT) n_total FROM parts),
 grid AS (SELECT parts.p, parts.np, tot.v, tot.ct FROM parts CROSS JOIN tot),
 jj AS (SELECT g.p, g.np, g.v, g.ct, COALESCE(cnt.c, 0) c, ntot.n_total
        FROM grid g LEFT JOIN cnt ON cnt.p = g.p AND cnt.v = g.v CROSS JOIN ntot),
-cum AS (SELECT p, np, n_total,
+cum AS (SELECT p, np, n_total, v,
                sum(c)  OVER (PARTITION BY p ORDER BY v) cum_c,
-               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t
+               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t,
+               lead(v) OVER (PARTITION BY p ORDER BY v) next_v
         FROM jj),
 ks AS (SELECT p, np AS n_part, n_total - np AS n_rest,
               max(abs(CAST(cum_c AS DOUBLE) / np
@@ -1317,9 +1344,10 @@ ntot AS (SELECT CAST(sum(np) AS BIGINT) n_total FROM parts),
 grid AS (SELECT parts.p, parts.np, tot.v, tot.ct FROM parts CROSS JOIN tot),
 jj AS (SELECT g.p, g.np, g.v, g.ct, COALESCE(cnt.c, 0) c, ntot.n_total
        FROM grid g LEFT JOIN cnt ON cnt.p = g.p AND cnt.v = g.v CROSS JOIN ntot),
-cum AS (SELECT p, np, n_total,
+cum AS (SELECT p, np, n_total, v,
                sum(c)  OVER (PARTITION BY p ORDER BY v) cum_c,
-               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t
+               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t,
+               lead(v) OVER (PARTITION BY p ORDER BY v) next_v
         FROM jj),
 ks AS (SELECT p, np AS n_part, n_total - np AS n_rest,
               max(abs(CAST(cum_c AS DOUBLE) / np
@@ -1423,21 +1451,12 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows,
 FROM transcripts GROUP BY conv_id
 HAVING count(DISTINCT part_month) > 1"""
 
+    # shares the _KS_CTES cnt→cum scaffolding (now carrying v/next_v)
+    # so a parity fix to the KS grid applies to EMD automatically; the
+    # unused trailing `ks` CTE is harmless
     sql["drift_emd"] = f"""{_T},
-cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
-        FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2),
-parts AS (SELECT p, CAST(sum(c) AS BIGINT) np FROM cnt GROUP BY 1),
-tot AS (SELECT v, CAST(sum(c) AS BIGINT) ct FROM cnt GROUP BY 1),
-ntot AS (SELECT CAST(sum(np) AS BIGINT) n_total FROM parts),
-grid AS (SELECT parts.p, parts.np, tot.v, tot.ct FROM parts CROSS JOIN tot),
-jj AS (SELECT g.p, g.np, g.v, g.ct, COALESCE(cnt.c, 0) c, ntot.n_total
-       FROM grid g LEFT JOIN cnt ON cnt.p = g.p AND cnt.v = g.v CROSS JOIN ntot),
-cum AS (SELECT p, np, n_total, v,
-               sum(c)  OVER (PARTITION BY p ORDER BY v) cum_c,
-               sum(ct) OVER (PARTITION BY p ORDER BY v) cum_t,
-               lead(v) OVER (PARTITION BY p ORDER BY v) next_v
-        FROM jj),
-e AS (SELECT p, np AS n_part, n_total - np AS n_rest,
+{_KS_CTES}
+, e AS (SELECT p, np AS n_part, n_total - np AS n_rest,
              sum(coalesce(abs(CAST(cum_c AS DOUBLE) / np
                               - CAST(cum_t - cum_c AS DOUBLE) / (n_total - np))
                           * CAST(next_v - v AS DOUBLE), 0.0)) AS emd

@@ -40,6 +40,59 @@ def _counts(df: DataFrame, partition_col: str, value: Column) -> DataFrame:
     )
 
 
+def counts_sketch(df: DataFrame, partition_col: str, value: Column) -> DataFrame:
+    """Public builder for the shared (p, v, c) sketch every drift/
+    entropy statistic consumes via ``precomputed`` — compute it once
+    (or materialize it) and fan out to ks/psi/emd/entropy without
+    rescanning the table."""
+    return _counts(df, partition_col, value)
+
+
+def _cdf_grid(cnt: DataFrame) -> DataFrame:
+    """Shared ECDF scaffolding for the two-cohort statistics (KS, EMD):
+    from the (p, v, c) sketch, the full partition × value grid with
+    running counts → (p, np, n_total, v, cum_c, cum_t, next_v).
+    cum_c/np is the partition's ECDF at v; (cum_t-cum_c)/(n_total-np)
+    the complement's; next_v the following grid point (NULL at the
+    end). Aggregates only — every relation here is tiny."""
+    parts = cnt.groupBy("p").agg(F.sum("c").alias("np"))
+    tot = cnt.groupBy("v").agg(F.sum("c").alias("ct"))
+    n_total = parts.agg(F.sum("np").alias("n_total"))
+
+    grid = parts.crossJoin(tot.select("v"))
+    j = (
+        grid.join(cnt, on=["p", "v"], how="left")
+        .fillna(0, subset=["c"])
+        .join(tot, on="v")
+        .crossJoin(F.broadcast(n_total))
+    )
+    w = Window.partitionBy("p").orderBy("v")
+    return j.select(
+        "p",
+        "np",
+        "n_total",
+        "v",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("ct").over(w).alias("cum_t"),
+        F.lead("v").over(w).alias("next_v"),
+    )
+
+
+def _complement_gap() -> Column:
+    """|ECDF_part − ECDF_rest| at the current grid row, NULL when the
+    complement cohort is empty (single-partition input) — an INTEGER
+    guard, so it can never disagree with an oracle, and it keeps ANSI
+    mode from raising DIVIDE_BY_ZERO."""
+    return F.when(
+        F.col("np") < F.col("n_total"),
+        F.abs(
+            F.col("cum_c") / F.col("np")
+            - (F.col("cum_t") - F.col("cum_c"))
+            / (F.col("n_total") - F.col("np"))
+        ),
+    )
+
+
 def ks_by_partition(
     df: DataFrame,
     partition_col: str,
@@ -53,32 +106,12 @@ def ks_by_partition(
     asymptotic two-sided Smirnov p-value (first ``n_terms`` series terms,
     lambda = sqrt(ne)*D, ne = n1*n2/(n1+n2)), clamped to [0, 1].
     ``precomputed`` lets callers share one (p, v, c) counts sketch across
-    several drift statistics (one table scan total).
+    several drift statistics (one table scan total). Degenerate inputs
+    (a single partition — no complement) yield NULL ks_d/ks_p.
     """
     cnt = precomputed if precomputed is not None else _counts(df, partition_col, value)
-    parts = cnt.groupBy("p").agg(F.sum("c").alias("np"))
-    tot = cnt.groupBy("v").agg(F.sum("c").alias("ct"))
-    n_total = parts.agg(F.sum("np").alias("n_total"))
-
-    grid = parts.crossJoin(tot.select("v"))  # aggregates only: tiny
-    j = (
-        grid.join(cnt, on=["p", "v"], how="left")
-        .fillna(0, subset=["c"])
-        .join(tot, on="v")
-        .crossJoin(F.broadcast(n_total))
-    )
-    w = Window.partitionBy("p").orderBy("v")
-    cum = j.select(
-        "p",
-        "np",
-        "n_total",
-        F.sum("c").over(w).alias("cum_c"),
-        F.sum("ct").over(w).alias("cum_t"),
-    )
-    gap = F.abs(
-        F.col("cum_c") / F.col("np")
-        - (F.col("cum_t") - F.col("cum_c")) / (F.col("n_total") - F.col("np"))
-    )
+    cum = _cdf_grid(cnt)
+    gap = _complement_gap()
     ks = cum.groupBy("p").agg(
         F.first("np").alias("n_part"),
         (F.first("n_total") - F.first("np")).alias("n_rest"),
@@ -90,7 +123,12 @@ def ks_by_partition(
     for k in range(1, n_terms + 1):
         term = F.lit(float((-1) ** (k - 1))) * F.exp(F.lit(-2.0 * k * k) * lam2)
         series = term if series is None else series + term
-    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
+    # explicit NULL gate: greatest/least IGNORE null args in Spark, so a
+    # NULL ks_d would otherwise surface as ks_p = 0.0
+    p = F.when(
+        F.col("ks_d").isNotNull(),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series)),
+    )
     return ks.select(
         F.col("p").alias(partition_col), "n_part", "n_rest", "ks_d", p.alias("ks_p")
     )
@@ -161,38 +199,17 @@ def emd_by_partition(
     change however thin, EMD weighs how much mass moved how far (in
     value units), so the two together separate "a spike appeared" from
     "the whole distribution shifted". Same aggregates-only shape as
-    ks_by_partition (shares its (p, v, c) sketch via ``precomputed``);
-    output (partition_col, n_part, n_rest, emd).
+    ks_by_partition (shares its (p, v, c) sketch via ``precomputed`` and
+    the _cdf_grid scaffolding in code); output (partition_col, n_part,
+    n_rest, emd), NULL emd for degenerate (single-partition) inputs.
     """
     cnt = precomputed if precomputed is not None else _counts(df, partition_col, value)
-    parts = cnt.groupBy("p").agg(F.sum("c").alias("np"))
-    tot = cnt.groupBy("v").agg(F.sum("c").alias("ct"))
-    n_total = parts.agg(F.sum("np").alias("n_total"))
-
-    grid = parts.crossJoin(tot.select("v"))
-    j = (
-        grid.join(cnt, on=["p", "v"], how="left")
-        .fillna(0, subset=["c"])
-        .join(tot, on="v")
-        .crossJoin(F.broadcast(n_total))
-    )
-    w = Window.partitionBy("p").orderBy("v")
-    cum = j.select(
-        "p",
-        "np",
-        "n_total",
-        "v",
-        F.sum("c").over(w).alias("cum_c"),
-        F.sum("ct").over(w).alias("cum_t"),
-        F.lead("v").over(w).alias("next_v"),
-    )
-    gap = F.abs(
-        F.col("cum_c") / F.col("np")
-        - (F.col("cum_t") - F.col("cum_c")) / (F.col("n_total") - F.col("np"))
-    )
-    # the last grid point has no width (lead is NULL) → contributes 0
+    cum = _cdf_grid(cnt)
+    # the last grid point has no width (lead is NULL) → contributes 0;
+    # a NULL gap (empty complement) nulls the whole sum via plain `+`
     area = F.coalesce(
-        gap * (F.col("next_v") - F.col("v")).cast("double"), F.lit(0.0)
+        _complement_gap() * (F.col("next_v") - F.col("v")).cast("double"),
+        F.when(F.col("np") < F.col("n_total"), F.lit(0.0)),
     )
     return (
         cum.groupBy("p")

@@ -1103,31 +1103,35 @@ def zipf_fit_sql(top_n: int = 500) -> str:
     ln(total tf) on ln(rank) over the top_n vocabulary, with the
     identical float op ORDER in slope/intercept/r2 (per-term sums are
     engine-order floating sums; round6 absorbs the ~1e-12 associativity
-    spread, as in psi/lm_score)."""
+    spread, as in psi/lm_score). Degenerate-group guards use the same
+    INTEGER predicates as the Spark side (n > 1, tf_min < tf_max) —
+    float-zero tests on cancellation residuals would be
+    summation-order dependent and could disagree between engines."""
     norm = NORM.format(col="text")
     slope = "(sxy - sx*sy/n) / (sxx - sx*sx/n)"
     return f"""
 WITH pd AS (
-  SELECT lang AS g, doc_id, unnest(string_split({norm}, ' ')) AS token
+  SELECT lang AS g, unnest(string_split({norm}, ' ')) AS token
   FROM documents),
-per_doc AS (SELECT g, doc_id, token, CAST(count(*) AS BIGINT) tf
-            FROM pd GROUP BY 1, 2, 3),
-vocab AS (SELECT g, token, CAST(sum(tf) AS BIGINT) tf
-          FROM per_doc GROUP BY 1, 2),
+vocab AS (SELECT g, token, CAST(count(*) AS BIGINT) tf
+          FROM pd GROUP BY 1, 2),
 ranked AS (
-  SELECT g, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
+  SELECT g, tf, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(tf AS DOUBLE)) AS y
   FROM (SELECT g, tf,
                row_number() OVER (PARTITION BY g
                                   ORDER BY tf DESC, token ASC) AS r
         FROM vocab) z
   WHERE r <= {top_n}),
 s AS (SELECT g, CAST(count(*) AS BIGINT) n,
+             min(tf) tf_min, max(tf) tf_max,
              sum(x) sx, sum(y) sy, sum(x*y) sxy,
              sum(x*x) sxx, sum(y*y) syy
       FROM ranked GROUP BY 1)
 SELECT g AS lang, n AS n_terms,
-       (round({slope}, 6) + 0) AS slope,
-       (round((sy - ({slope}) * sx) / n, 6) + 0) AS intercept,
-       (round((sxy - sx*sy/n) * (sxy - sx*sy/n)
-              / ((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) + 0) AS r2
+       (round(CASE WHEN n > 1 THEN {slope} END, 6) + 0) AS slope,
+       (round(CASE WHEN n > 1
+              THEN (sy - ({slope}) * sx) / n END, 6) + 0) AS intercept,
+       (round(CASE WHEN n > 1 AND tf_min < tf_max
+              THEN (sxy - sx*sy/n) * (sxy - sx*sy/n)
+                   / ((sxx - sx*sx/n) * (syy - sy*sy/n)) END, 6) + 0) AS r2
 FROM s"""

@@ -382,9 +382,11 @@ def zipf_fit(docs: DataFrame, top_n: int = 500, group_col: str = "lang") -> Data
     whole-corpus complement to the per-doc quality cascade
     (filter_report).
 
-    Scale shape: tokens are pre-counted per doc before the vocabulary
-    rollup (same two-phase shuffle discipline as term_df), the ranking
-    window partitions BY GROUP (no single-partition exchange), and the
+    Scale shape: the vocabulary rollup is ONE count shuffle keyed on
+    (group, token) — map-side combine collapses each partition's
+    repeats before the exchange (unlike term_df, no per-doc phase is
+    needed: only the total tf is consumed). The ranking window
+    partitions BY GROUP (no single-partition exchange), and the
     regression consumes top_n aggregated rows per group — the raw table
     is scanned once. Tie-break (tf desc, token asc) is deterministic on
     both engines.
@@ -393,28 +395,29 @@ def zipf_fit(docs: DataFrame, top_n: int = 500, group_col: str = "lang") -> Data
 
     from matric_spark.operators.dedup import normalized_text
 
-    per_doc = (
+    vocab = (
         docs.select(
             F.col(group_col).alias("g"),
-            "doc_id",
             F.explode(F.split(normalized_text("text"), " ")).alias("token"),
         )
-        .groupBy("g", "doc_id", "token")
+        .groupBy("g", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = per_doc.groupBy("g", "token").agg(F.sum("tf").alias("tf"))
     w = Window.partitionBy("g").orderBy(F.desc("tf"), F.asc("token"))
     ranked = (
         vocab.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= top_n)
         .select(
             "g",
+            "tf",
             F.log(F.col("r").cast("double")).alias("x"),
             F.log(F.col("tf").cast("double")).alias("y"),
         )
     )
     s = ranked.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
+        F.min("tf").alias("tf_min"),
+        F.max("tf").alias("tf_max"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
@@ -422,19 +425,24 @@ def zipf_fit(docs: DataFrame, top_n: int = 500, group_col: str = "lang") -> Data
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     # fixed float op ORDER, mirrored verbatim by the DuckDB oracle.
-    # Degenerate groups (zero variance in rank or tf — e.g. a single
-    # term, or a perfectly flat vocabulary) yield NULL slope/intercept/
-    # r2: the F.when guards keep ANSI mode from raising DIVIDE_BY_ZERO.
+    # Degenerate groups yield NULL slope/intercept/r2 — guarded by
+    # INTEGER predicates (n > 1 ⟺ rank variance > 0; tf_min < tf_max ⟺
+    # tf variance > 0), never by float-zero tests: the floating
+    # residual of syy - sy²/n under catastrophic cancellation is
+    # summation-order dependent, so `vary != 0` could disagree between
+    # Spark's partial-agg tree and DuckDB's sequential sum. The guards
+    # also keep ANSI mode from raising DIVIDE_BY_ZERO.
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
     vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
-    slope = F.when(varx != 0, cov / varx)
+    slope = F.when(F.col("n") > 1, cov / varx)
     return s.select(
         F.col("g").alias(group_col),
         F.col("n").alias("n_terms"),
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
-        F.when((varx != 0) & (vary != 0), cov * cov / (varx * vary)).alias(
-            "r2"
-        ),
+        F.when(
+            (F.col("n") > 1) & (F.col("tf_min") < F.col("tf_max")),
+            cov * cov / (varx * vary),
+        ).alias("r2"),
     )

@@ -399,3 +399,42 @@ def test_entropy_by_partition_closed_form(spark):
     assert abs(out["A"].entropy - math.log(2)) < 1e-12
     assert out["A"].n_values == 2
     assert out["B"].entropy == 0.0 and out["B"].n_values == 1
+
+
+def test_drift_degenerate_single_partition_yields_null(spark):
+    """One partition = empty complement cohort: KS and EMD must emit
+    NULL statistics (integer-guarded), not NaN or an ANSI
+    divide-by-zero error."""
+    from matric_spark.checks.drift import emd_by_partition, ks_by_partition
+
+    df = spark.createDataFrame(
+        [("A", v) for v in (1, 2, 3, 4)], "p string, v int"
+    )
+    k = ks_by_partition(df, "p", F.col("v")).collect()[0]
+    assert k.n_rest == 0
+    assert k.ks_d is None and k.ks_p is None
+    e = emd_by_partition(df, "p", F.col("v")).collect()[0]
+    assert e.emd is None
+
+
+def test_drift_sketch_reuse_matches_direct(spark):
+    """precomputed= path ≡ direct computation (incl. a parquet
+    roundtrip of the sketch, as __spark_entry__._drift_sketch does)."""
+    import tempfile
+
+    from matric_spark.checks.drift import (
+        counts_sketch,
+        emd_by_partition,
+        entropy_by_partition,
+        ks_by_partition,
+    )
+
+    rows = [("A", v % 7) for v in range(40)] + [("B", v % 5) for v in range(25)]
+    df = spark.createDataFrame(rows, "p string, v int")
+    path = tempfile.mkdtemp(prefix="sketch_") + "/s.parquet"
+    counts_sketch(df, "p", F.col("v")).write.parquet(path)
+    sk = spark.read.parquet(path)
+    for fn in (ks_by_partition, emd_by_partition, entropy_by_partition):
+        direct = sorted(map(tuple, fn(df, "p", F.col("v")).collect()))
+        shared = sorted(map(tuple, fn(None, "p", None, precomputed=sk).collect()))
+        assert direct == shared, fn.__name__
