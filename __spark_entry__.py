@@ -887,6 +887,22 @@ def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["ks_d", "ks_p"])
 
 
+def q_events_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 of floor(value) for each DAY cohort vs the rest of
+    the event stream — the time-axis twin of drift_emd (and the
+    magnitude complement to events_drift's KS)."""
+    from matric_spark.checks.drift import emd_by_partition
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn(
+        "cohort",
+        (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts"))
+        .cast("int"),
+    )
+    out = emd_by_partition(ev, "cohort", F.floor("value").cast("long"))
+    return _round6(out, ["emd"])
+
+
 def q_conv_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation token accounting + context-budget flag."""
     from matric_spark.checks.sequence import conv_token_stats
@@ -1268,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_errors": q_events_session_errors,
         "events_rolling": q_events_rolling,
         "events_drift": q_events_drift,
+        "events_emd": q_events_emd,
         "role_transitions": q_role_transitions,
         "schema_conformance": q_schema_conformance,
         "conv_near_dup": q_conv_near_dup,
@@ -1326,6 +1343,17 @@ ks AS (SELECT p, np AS n_part, n_total - np AS n_rest,
 
 
 # the KS→p-value tail shared by every drift query (3-term Smirnov series)
+# the EMD tail over the shared cnt→cum grid (assumes the _KS_CTES /
+# _ks_ctes chain in scope; the trailing unused `ks` CTE is harmless)
+_EMD_SELECT = """
+, e AS (SELECT p, np AS n_part, n_total - np AS n_rest,
+             sum(coalesce(abs(CAST(cum_c AS DOUBLE) / np
+                              - CAST(cum_t - cum_c AS DOUBLE) / (n_total - np))
+                          * CAST(next_v - v AS DOUBLE), 0.0)) AS emd
+      FROM cum GROUP BY p, np, n_total)
+SELECT p AS {part_out}, n_part, n_rest, (round(emd, 6) + 0) AS emd FROM e"""
+
+
 _KS_P_SELECT = """
 SELECT p AS {part_out}, n_part, n_rest, (round(ks_d, 6) + 0) AS ks_d,
        (round(least(1.0, greatest(0.0,
@@ -1452,16 +1480,18 @@ FROM transcripts GROUP BY conv_id
 HAVING count(DISTINCT part_month) > 1"""
 
     # shares the _KS_CTES cnt→cum scaffolding (now carrying v/next_v)
-    # so a parity fix to the KS grid applies to EMD automatically; the
-    # unused trailing `ks` CTE is harmless
+    # so a parity fix to the KS grid applies to EMD automatically
     sql["drift_emd"] = f"""{_T},
 {_KS_CTES}
-, e AS (SELECT p, np AS n_part, n_total - np AS n_rest,
-             sum(coalesce(abs(CAST(cum_c AS DOUBLE) / np
-                              - CAST(cum_t - cum_c AS DOUBLE) / (n_total - np))
-                          * CAST(next_v - v AS DOUBLE), 0.0)) AS emd
-      FROM cum GROUP BY p, np, n_total)
-SELECT p AS part_month, n_part, n_rest, (round(emd, 6) + 0) AS emd FROM e"""
+{_EMD_SELECT.format(part_out="part_month")}"""
+
+    sql["events_emd"] = f"""WITH
+{_ks_ctes(
+        "events",
+        "CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT)",
+        "CAST(floor(value) AS BIGINT)",
+    )}
+{_EMD_SELECT.format(part_out="cohort")}"""
 
     sql["colstats_entropy"] = f"""{_T},
 cnt AS (SELECT part_month p, length(text) v, CAST(count(*) AS BIGINT) c
