@@ -126,6 +126,19 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["psi"])
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turns whose text length is a median/MAD robust outlier within
+    their partition. k=2.0 here (not the operator's 3.5 default): the
+    synthetic length distribution maxes out at robust_z ≈ 2.4, and a
+    gate that always compares empty sets proves nothing — at 2.0 the
+    hash covers ~659 real rows."""
+    from matric_spark.checks.column_stats import robust_outliers
+
+    t = transcript_df(spark, sf_dir).filter(F.col("text").isNotNull())
+    out = robust_outliers(t, "part_month", F.length("text"), k=2.0)
+    return _round6(out, ["robust_z"])
+
+
 def q_partition_spillover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversations whose turns span >1 part_month partition — the
     partition-hygiene check behind pruned resume/re-validation scans."""
@@ -1240,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_emd": q_drift_emd,
         "partition_spillover": q_partition_spillover,
+        "robust_outliers": q_robust_outliers,
         "colstats_entropy": q_colstats_entropy,
         "verdicts": q_verdicts,
         "doc_text_stats": q_doc_text_stats,
@@ -1471,6 +1485,24 @@ WHERE ts < prev_max"""
     sql["drift_ks"] = f"""{_T},
 {_KS_CTES}
 {_KS_P_SELECT.format(part_out="part_month")}"""
+
+    sql["robust_outliers"] = f"""{_T},
+t AS (SELECT conv_id, turn_idx, part_month,
+             CAST(length(text) AS DOUBLE) AS v
+      FROM transcripts WHERE text IS NOT NULL),
+m AS (SELECT part_month, quantile_cont(v, 0.5) AS med
+      FROM t GROUP BY 1),
+d AS (SELECT t.conv_id, t.turn_idx, t.part_month, t.v,
+             abs(t.v - m.med) AS dev
+      FROM t JOIN m USING (part_month)),
+s AS (SELECT part_month, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY 1),
+o AS (SELECT d.conv_id, d.turn_idx, d.part_month, d.v,
+             d.dev / (s.mad * 1.4826) AS robust_z
+      FROM d JOIN s USING (part_month) WHERE s.mad > 0)
+SELECT conv_id, turn_idx, part_month, v AS value,
+       (round(robust_z, 6) + 0) AS robust_z
+FROM o WHERE robust_z > 2.0"""
 
     sql["partition_spillover"] = f"""{_T}
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows,

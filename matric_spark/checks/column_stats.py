@@ -126,3 +126,54 @@ def heavy_hitters(
         .filter(F.col("rnk") <= k)
         .select("col_name", "value", "n", "frac", "rnk")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    partition_col: str,
+    value: "F.Column",
+    k: float = 3.5,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows whose value is a robust outlier within its partition:
+    |v − median| / (MAD · 1.4826) > k → (id_cols..., partition_col,
+    text_len, robust_z). Median/MAD instead of mean/sd so the detector
+    itself survives the outliers it hunts (one wild row shifts a mean,
+    not a median) — the per-row counterpart of the z-scaled background
+    stats in operators/metrics.py (reference: R/sim_metrics.R:391-411).
+
+    Two grouped EXACT percentile passes (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the colstats_quantiles parity recipe) + broadcast
+    joins of the tiny per-partition stats back onto the scan. Exact
+    percentile buffers each group's values, so at full corpus scale
+    substitute the mergeable t-digest (operators/sketches.py) for the
+    two median passes — the detector's join/filter shape is unchanged.
+    Partitions whose MAD is 0 (over half the rows share one value) are
+    skipped — an integer-free but exact-equality guard that both
+    engines evaluate identically.
+    """
+    id_cols = id_cols or ["conv_id", "turn_idx"]
+    t = df.select(
+        *id_cols, partition_col, value.cast("double").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    med = t.groupBy(partition_col).agg(
+        F.expr("percentile(_v, 0.5)").alias("_med")
+    )
+    d = t.join(F.broadcast(med), partition_col).withColumn(
+        "_dev", F.abs(F.col("_v") - F.col("_med"))
+    )
+    mad = d.groupBy(partition_col).agg(
+        F.expr("percentile(_dev, 0.5)").alias("_mad")
+    )
+    return (
+        d.join(F.broadcast(mad), partition_col)
+        .filter(F.col("_mad") > 0)
+        .withColumn("robust_z", F.col("_dev") / (F.col("_mad") * F.lit(1.4826)))
+        .filter(F.col("robust_z") > k)
+        .select(
+            *id_cols,
+            partition_col,
+            F.col("_v").alias("value"),
+            "robust_z",
+        )
+    )

@@ -438,3 +438,22 @@ def test_drift_sketch_reuse_matches_direct(spark):
         direct = sorted(map(tuple, fn(df, "p", F.col("v")).collect()))
         shared = sorted(map(tuple, fn(None, "p", None, precomputed=sk).collect()))
         assert direct == shared, fn.__name__
+
+
+def test_robust_outliers_planted(spark):
+    """A planted wild row is flagged with the hand-computed robust z;
+    normal rows are not; a constant-value partition (MAD 0) is skipped."""
+    rows = (
+        [("c", i, "A", 10 + (i % 2)) for i in range(20)]  # lens 10/11
+        + [("c", 99, "A", 1000)]                          # the outlier
+        + [("c", i, "B", 7) for i in range(10)]           # MAD 0 → skip
+    )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, p string, ln int")
+    from matric_spark.checks.column_stats import robust_outliers
+
+    out = robust_outliers(df, "p", F.col("ln"), k=3.5).collect()
+    assert [(r.conv_id, r.turn_idx) for r in out] == [("c", 99)]
+    # n=21 sorted lens: 10×10, 10×11, 1000 → median (index 10 of 0..20)
+    # = 11; devs: ten 1s, ten 0s, 989 → MAD = 1; z = 989/(1·1.4826)
+    r = out[0]
+    assert abs(r.robust_z - (989 / (1.0 * 1.4826))) < 1e-9
