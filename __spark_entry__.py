@@ -126,6 +126,15 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["psi"])
 
 
+def q_role_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn arrival-gap stats per (part_month, role): latency
+    drift + backwards-timestamp counts in one aggregate."""
+    from matric_spark.checks.sequence import role_latency
+
+    out = role_latency(transcript_df(spark, sf_dir))
+    return _round6(out, ["avg_gap_s"])
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turns whose text length is a median/MAD robust outlier within
     their partition. k=2.0 here (not the operator's 3.5 default): the
@@ -1254,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_emd": q_drift_emd,
         "partition_spillover": q_partition_spillover,
         "robust_outliers": q_robust_outliers,
+        "role_latency": q_role_latency,
         "colstats_entropy": q_colstats_entropy,
         "verdicts": q_verdicts,
         "doc_text_stats": q_doc_text_stats,
@@ -1485,6 +1495,24 @@ WHERE ts < prev_max"""
     sql["drift_ks"] = f"""{_T},
 {_KS_CTES}
 {_KS_P_SELECT.format(part_out="part_month")}"""
+
+    sql["role_latency"] = f"""{_T},
+r AS (SELECT part_month, conv_id, role, turn_idx, ts,
+             coalesce(role, chr(29) || 'null') || chr(31)
+               || coalesce(text, chr(29) || 'null') AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) AS e
+      FROM transcripts),
+g AS (SELECT part_month, role,
+             e - lag(e) OVER (PARTITION BY conv_id
+                              ORDER BY turn_idx NULLS FIRST,
+                                       ts NULLS FIRST, s) AS gap
+      FROM r)
+SELECT part_month, role,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_gaps,
+       (round(avg(gap), 6) + 0) AS avg_gap_s,
+       min(gap) AS min_gap_s, max(gap) AS max_gap_s
+FROM g GROUP BY 1, 2"""
 
     sql["robust_outliers"] = f"""{_T},
 t AS (SELECT conv_id, turn_idx, part_month,

@@ -387,3 +387,46 @@ def partition_spillover(
         )
         .filter(F.col("n_partitions") > 1)
     )
+
+
+def role_latency(df: DataFrame) -> DataFrame:
+    """Inter-turn arrival gaps per (part_month, role): for every turn
+    with a predecessor in its conversation, gap = epoch(ts) −
+    epoch(prev ts) under the stable (turn_idx, ts, composed-string)
+    ordering conversation_tapes uses → one row per (part_month, role):
+    (n_gaps, neg_gaps, avg_gap_s, min_gap_s, max_gap_s).
+
+    Reads two QA signals at once: latency drift (a role's avg gap
+    ballooning in one partition = a stuck producer) and ordering
+    anomalies (neg_gaps > 0 = timestamps running backwards along the
+    turn index — the aggregate view of seq_out_of_order's row listing).
+    Ties on the full sort key imply equal timestamps, so gaps are
+    well-defined even on the planted duplicate keys.
+
+    One window over (conv_id) + one combinable aggregate; the text
+    column feeds only the tie-break string and never crosses the
+    aggregate shuffle.
+    """
+    from pyspark.sql import Window
+
+    s = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("role"), F.lit("\x1dnull")),
+        F.coalesce(F.col("text"), F.lit("\x1dnull")),
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.asc("turn_idx"), F.asc("ts"), F.asc(s)
+    )
+    e = F.unix_timestamp("ts")
+    g = df.select(
+        "part_month",
+        "role",
+        (e - F.lag(e).over(w)).alias("gap"),
+    )
+    return g.groupBy("part_month", "role").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum(F.when(F.col("gap") < 0, 1).otherwise(0)).alias("neg_gaps"),
+        F.avg("gap").alias("avg_gap_s"),
+        F.min("gap").alias("min_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+    )

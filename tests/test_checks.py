@@ -457,3 +457,27 @@ def test_robust_outliers_planted(spark):
     # = 11; devs: ten 1s, ten 0s, 989 → MAD = 1; z = 989/(1·1.4826)
     r = out[0]
     assert abs(r.robust_z - (989 / (1.0 * 1.4826))) < 1e-9
+
+
+def test_role_latency_gaps_and_backwards_ts(spark):
+    from datetime import datetime
+
+    from matric_spark.checks.sequence import role_latency
+
+    T = datetime
+    rows = [
+        ("c1", 0, "user", "q", None, T(2024, 1, 1, 0, 0, 0), 202401),
+        ("c1", 1, "assistant", "a", None, T(2024, 1, 1, 0, 0, 30), 202401),
+        ("c1", 2, "user", "q2", None, T(2024, 1, 1, 0, 0, 10), 202401),  # backwards
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, part_month int",
+    )
+    out = {(r.part_month, r.role): r for r in role_latency(df).collect()}
+    assert out[(202401, "user")].n_gaps == 1       # first turn has no prev
+    assert out[(202401, "user")].neg_gaps == 1     # -20 s
+    assert out[(202401, "user")].min_gap_s == -20
+    assert out[(202401, "assistant")].avg_gap_s == 30.0
+    assert out[(202401, "assistant")].neg_gaps == 0
