@@ -596,6 +596,31 @@ def _drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_EVENTS_SKETCH_CACHE: dict[str, str] = {}
+
+
+def _events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p, v, c) counts sketch over (day cohort, floor(value)) of the
+    event stream — shared by events_drift and events_emd, same
+    materialize-once pattern as _drift_sketch."""
+    path = _EVENTS_SKETCH_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        from matric_spark.checks.drift import counts_sketch
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "cohort",
+            (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts"))
+            .cast("int"),
+        )
+        out = counts_sketch(ev, "cohort", F.floor("value").cast("long"))
+        path = tempfile.mkdtemp(prefix="graft_evsk_") + "/sketch.parquet"
+        out.write.parquet(path)
+        _EVENTS_SKETCH_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
 _TAPES_CACHE: dict[str, str] = {}
 
 
@@ -899,13 +924,9 @@ def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal drift: KS of floor(value) for each DAY cohort vs the rest
     of the event stream — the time-axis twin of drift_ks's partition
     cohorts."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn(
-        "cohort",
-        (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts"))
-        .cast("int"),
+    out = ks_by_partition(
+        None, "cohort", None, precomputed=_events_sketch(spark, sf_dir)
     )
-    out = ks_by_partition(ev, "cohort", F.floor("value").cast("long"))
     return _round6(out, ["ks_d", "ks_p"])
 
 
@@ -915,13 +936,9 @@ def q_events_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude complement to events_drift's KS)."""
     from matric_spark.checks.drift import emd_by_partition
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn(
-        "cohort",
-        (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts"))
-        .cast("int"),
+    out = emd_by_partition(
+        None, "cohort", None, precomputed=_events_sketch(spark, sf_dir)
     )
-    out = emd_by_partition(ev, "cohort", F.floor("value").cast("long"))
     return _round6(out, ["emd"])
 
 
@@ -1366,18 +1383,22 @@ ks AS (SELECT p, np AS n_part, n_total - np AS n_rest,
 """
 
 
-# the KS→p-value tail shared by every drift query (3-term Smirnov series)
 # the EMD tail over the shared cnt→cum grid (assumes the _KS_CTES /
-# _ks_ctes chain in scope; the trailing unused `ks` CTE is harmless)
+# _ks_ctes chain in scope; the trailing unused `ks` CTE is harmless).
+# The coalesce fallback mirrors emd_by_partition's degenerate guard:
+# CASE WHEN np < n_total (not a bare 0.0), so a single-cohort input
+# yields NULL emd on BOTH engines.
 _EMD_SELECT = """
 , e AS (SELECT p, np AS n_part, n_total - np AS n_rest,
              sum(coalesce(abs(CAST(cum_c AS DOUBLE) / np
                               - CAST(cum_t - cum_c AS DOUBLE) / (n_total - np))
-                          * CAST(next_v - v AS DOUBLE), 0.0)) AS emd
+                          * CAST(next_v - v AS DOUBLE),
+                          CASE WHEN np < n_total THEN 0.0 END)) AS emd
       FROM cum GROUP BY p, np, n_total)
 SELECT p AS {part_out}, n_part, n_rest, (round(emd, 6) + 0) AS emd FROM e"""
 
 
+# the KS→p-value tail shared by every drift query (3-term Smirnov series)
 _KS_P_SELECT = """
 SELECT p AS {part_out}, n_part, n_rest, (round(ks_d, 6) + 0) AS ks_d,
        (round(least(1.0, greatest(0.0,

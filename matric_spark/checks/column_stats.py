@@ -137,7 +137,7 @@ def robust_outliers(
 ) -> DataFrame:
     """Rows whose value is a robust outlier within its partition:
     |v − median| / (MAD · 1.4826) > k → (id_cols..., partition_col,
-    text_len, robust_z). Median/MAD instead of mean/sd so the detector
+    value, robust_z). Median/MAD instead of mean/sd so the detector
     itself survives the outliers it hunts (one wild row shifts a mean,
     not a median) — the per-row counterpart of the z-scaled background
     stats in operators/metrics.py (reference: R/sim_metrics.R:391-411).

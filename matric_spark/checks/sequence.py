@@ -19,8 +19,25 @@ table on one task. AQE balances the residual per-task row-count skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def turn_order_string(include_tool: bool = False) -> Column:
+    """The NULL-sentinel composed string used as the FINAL turn sort key
+    (after turn_idx, ts) so duplicate keys still order deterministically:
+    \\x1f-joined coalesce(col, '\\x1dnull') over (role, text[, tool]).
+    MUST stay byte-identical to the oracle's chr(29)/chr(31) twin
+    (__spark_entry__._TAPE_CTES and the role_latency/role_transitions
+    SQL) — every consumer shares this single definition."""
+    null_s = F.lit("\x1dnull")
+    parts = [
+        F.coalesce(F.col("role"), null_s),
+        F.coalesce(F.col("text"), null_s),
+    ]
+    if include_tool:
+        parts.append(F.coalesce(F.col("tool"), null_s))
+    return F.concat_ws("\x1f", *parts)
 
 
 def conversation_shape(df: DataFrame) -> DataFrame:
@@ -56,11 +73,7 @@ def conversation_tapes(df: DataFrame) -> DataFrame:
     NULLS FIRST explicitly to mirror this ->
     DataFrame[conv_id, tape]. One groupBy(conv_id) with bounded state
     (a conversation is ~10^4 turns max)."""
-    s = F.concat_ws(
-        "\x1f",
-        F.coalesce(F.col("role"), F.lit("\x1dnull")),
-        F.coalesce(F.col("text"), F.lit("\x1dnull")),
-    )
+    s = turn_order_string()
     item = F.struct(F.col("turn_idx"), F.col("ts"), s.alias("s"))
     g = df.groupBy("conv_id").agg(
         F.sort_array(F.collect_list(item)).alias("items")
@@ -145,14 +158,8 @@ def role_transitions(
     Analog of matric's metadata-composition audits re-targeted to
     sequence grammars (R/sim_collate.R annotation discipline).
     """
-    null_s = F.lit("\x1dnull")
-    role_s = F.coalesce(F.col("role"), null_s)
-    order_s = F.concat_ws(
-        "\x1f",
-        role_s,
-        F.coalesce(F.col("text"), null_s),
-        F.coalesce(F.col("tool"), null_s),
-    )
+    role_s = F.coalesce(F.col("role"), F.lit("\x1dnull"))
+    order_s = turn_order_string(include_tool=True)
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", order_s)
     pairs = df.select(
         F.coalesce(F.lag(role_s).over(w), F.lit("<start>")).alias("prev_role"),
@@ -236,14 +243,8 @@ def conv_verdicts(
     role_domain = role_domain or list(DEFAULT_ROLE_DOMAIN)
     tool_domain = tool_domain or list(DEFAULT_TOOL_DOMAIN)
 
-    null_s = F.lit("\x1dnull")
-    role_s = F.coalesce(F.col("role"), null_s)
-    order_s = F.concat_ws(
-        "\x1f",
-        role_s,
-        F.coalesce(F.col("text"), null_s),
-        F.coalesce(F.col("tool"), null_s),
-    )
+    role_s = F.coalesce(F.col("role"), F.lit("\x1dnull"))
+    order_s = turn_order_string(include_tool=True)
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", order_s)
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     allowed_keys = sorted(f"{a}\x1f{b}" for a, b in grammar)
@@ -407,13 +408,7 @@ def role_latency(df: DataFrame) -> DataFrame:
     column feeds only the tie-break string and never crosses the
     aggregate shuffle.
     """
-    from pyspark.sql import Window
-
-    s = F.concat_ws(
-        "\x1f",
-        F.coalesce(F.col("role"), F.lit("\x1dnull")),
-        F.coalesce(F.col("text"), F.lit("\x1dnull")),
-    )
+    s = turn_order_string()
     w = Window.partitionBy("conv_id").orderBy(
         F.asc("turn_idx"), F.asc("ts"), F.asc(s)
     )
