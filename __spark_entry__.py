@@ -354,6 +354,24 @@ def q_emb_ivf_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_soundness_violations(ivf, exact)
 
 
+def q_emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch SEMANTIC dedup: every 5th embedding plays the fresh
+    batch, the rest the corpus; exact cross-set cosine pairs at the
+    corpus threshold (the oracle baseline — the IVF-blocked variant is
+    the production path, differential-tested in pytest)."""
+    from matric_spark.operators.ann import embedding_near_dup_against
+
+    emb = _emb(spark, sf_dir)
+    return _round6(
+        embedding_near_dup_against(
+            emb.filter(F.col("vec_id") % 5 == 0),
+            emb.filter(F.col("vec_id") % 5 != 0),
+            0.4,
+        ),
+        ["cosine"],
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.ann import ann_topk_bruteforce
 
@@ -1298,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_soundness": q_emb_lsh_soundness,
         "emb_near_dup_ivf": q_emb_near_dup_ivf,
         "emb_ivf_soundness": q_emb_ivf_soundness,
+        "emb_dedup_incremental": q_emb_dedup_incremental,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_ivf_soundness": q_ann_ivf_soundness,
@@ -1779,6 +1798,8 @@ GROUP BY 1 HAVING count(*) > 1"""
     sql["emb_lsh_soundness"] = """
 SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
        CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"""
+    sql["emb_dedup_incremental"] = dk.embedding_near_dup_cross_sql(0.4)
+
     sql["emb_ivf_soundness"] = """
 SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
        CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"""

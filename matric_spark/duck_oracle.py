@@ -1135,3 +1135,16 @@ SELECT g AS lang, n AS n_terms,
               THEN (sxy - sx*sy/n) * (sxy - sx*sy/n)
                    / ((sxx - sx*sx/n) * (syy - sy*sy/n)) END, 6) + 0) AS r2
 FROM s"""
+
+
+def embedding_near_dup_cross_sql(threshold: float = 0.4) -> str:
+    """Mirrors operators/ann.embedding_near_dup_against for the entry
+    split (vec_id % 5 == 0 plays the fresh batch)."""
+    return f"""
+WITH {_NORM_E},
+n AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+r AS (SELECT * FROM e WHERE vec_id % 5 <> 0)
+SELECT n.vec_id AS new_id, r.vec_id AS ref_id,
+       (round(list_dot_product(n.v, r.v), 6) + 0) AS cosine
+FROM n CROSS JOIN r
+WHERE list_dot_product(n.v, r.v) >= {threshold}"""

@@ -414,6 +414,87 @@ def embedding_near_dup_ivf(
     )
 
 
+def embedding_near_dup_against(
+    new_emb: DataFrame,
+    ref_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cross-set near-dup: for each NEW embedding, the REFERENCE
+    embeddings with cosine >= threshold → [new_id, ref_id, cosine] —
+    the embedding-space twin of dedup.minhash_lsh_pairs_against (drop
+    fresh items that near-duplicate the existing corpus semantically).
+
+    O(|new|·|ref|) by construction: the oracle baseline and soundness
+    reference for `embedding_near_dup_against_ivf`, which is the same
+    operator with IVF-cell blocking for production scale.
+    """
+    a = _normalized(new_emb, id_col, vec_col, "new_id", "v1")
+    b = _normalized(ref_emb, id_col, vec_col, "ref_id", "v2")
+    return (
+        a.crossJoin(b)
+        .select("new_id", "ref_id", dot("v1", "v2").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_against_ivf(
+    new_emb: DataFrame,
+    ref_emb: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 64,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-set near-dup with IVF-cell blocking — the per-ingest-batch
+    production path: spherical k-means is fit on the REFERENCE corpus
+    (the index is a pure function of the corpus — at scale it is fit
+    once per ingest epoch and its cell assignment written alongside the
+    embeddings, exactly like the banded-signature note on
+    minhash_lsh_pairs_against), each reference vector lives in its one
+    nearest cell, and the (small) new batch probes its `nprobe` nearest
+    cells. Candidates exchange IDS ONLY; the exact-cosine verify joins
+    the normalized vectors back, so precision is exact and only recall
+    is probabilistic (differential-tested on planted cross-set dups).
+    """
+    from matric_spark.functions.udfs import (
+        make_centroid_assign_udf,
+        make_centroid_probe_udf,
+    )
+
+    cent = ivf_centroids(
+        ref_emb, n_centroids=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign = make_centroid_assign_udf(cent)
+    probe = make_centroid_probe_udf(cent, nprobe)
+    r = (
+        _normalized(ref_emb, id_col, vec_col, "ref_id", "rv")
+        .filter(F.col("rv").isNotNull())
+        .withColumn("cell", assign(F.col("rv")))
+    )
+    n = (
+        _normalized(new_emb, id_col, vec_col, "new_id", "nv")
+        .filter(F.col("nv").isNotNull())
+        .select("new_id", "nv", F.explode(probe(F.col("nv"))).alias("cell"))
+    )
+    cand = (
+        n.select("new_id", "cell")
+        .join(r.select("ref_id", "cell"), "cell")
+        .select("new_id", "ref_id")
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    return (
+        cand.join(n.select("new_id", "nv").dropDuplicates(["new_id"]), "new_id")
+        .join(r.select("ref_id", "rv"), "ref_id")
+        .select("new_id", "ref_id", dot("nv", "rv").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ------------------------------------------------------- soundness gates
 #
 # LSH/IVF *recall* is probabilistic and cannot have an exact oracle; their

@@ -585,3 +585,49 @@ def test_embedding_near_dup_ivf_tolerates_null_and_zero_vectors(spark):
     ).collect()
     ids = {i for r in out for i in (r.id1, r.id2)}
     assert 20 not in ids and 21 not in ids  # and, crucially, no crash
+
+
+def test_embedding_near_dup_against_ivf_planted_recall(spark):
+    """Cross-set IVF blocking: planted dups between a 'new batch' and a
+    'corpus' are found with high recall, never invented (soundness), and
+    deterministically across runs; the exact variant is the reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    ref_rows, new_rows = [], []
+    for i in range(25):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        ref_rows.append((i, [float(x) for x in base]))
+        if i % 2 == 0:  # plant a near-dup of every other corpus vector
+            v = base + rng.normal(size=32) * 0.03
+            new_rows.append((1000 + i, [float(x) for x in v]))
+    for j in range(20):  # plus unrelated new vectors
+        v = rng.normal(size=32)
+        new_rows.append((2000 + j, [float(x) for x in v]))
+    schema = "vec_id long, embedding array<double>"
+    ref = spark.createDataFrame(ref_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+
+    from matric_spark.operators.ann import (
+        embedding_near_dup_against,
+        embedding_near_dup_against_ivf,
+    )
+
+    exact = {
+        (r.new_id, r.ref_id)
+        for r in embedding_near_dup_against(new, ref, 0.95).collect()
+    }
+    kwargs = dict(threshold=0.95, n_centroids=8, nprobe=3)
+    ivf = {
+        (r.new_id, r.ref_id)
+        for r in embedding_near_dup_against_ivf(new, ref, **kwargs).collect()
+    }
+    assert ivf <= exact
+    assert len(exact) >= 13  # every plant found by the exact baseline
+    assert len(ivf) / len(exact) >= 0.9
+    again = {
+        (r.new_id, r.ref_id)
+        for r in embedding_near_dup_against_ivf(new, ref, **kwargs).collect()
+    }
+    assert again == ivf
