@@ -1285,6 +1285,54 @@ def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (conv_id, turn_idx) → (text, role):
+    duplicate keys whose copies DISAGREE — the subset of uniqueness
+    violations that cannot be fixed by dropping copies. String payloads
+    are 60-bit-hashed before the shuffle (the count-distinct is over
+    hashes on BOTH engines)."""
+    from matric_spark.checks.constraints import fd_violations
+
+    t = transcript_df(spark, sf_dir)
+    return fd_violations(t, ["conv_id", "turn_idx"], ["text", "role"])
+
+
+def q_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level implication rules (WHEN ⇒ MUST), one scan for the whole
+    rule pack; every rule has planted violations in the synthetic view
+    (see checks/constraints.default_transcript_rules)."""
+    from matric_spark.checks.constraints import (
+        default_transcript_rules,
+        rule_violations,
+    )
+
+    t = transcript_df(spark, sf_dir)
+    return rule_violations(t, default_transcript_rules())
+
+
+def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn text recurring across ≥10 distinct conversations — canned
+    boilerplate a training pipeline down-weights even when
+    within-conversation repeats are fine. Hash-first: the shuffle
+    carries (content_fp, conv_id), never text."""
+    from matric_spark.operators.dedup import cross_group_duplicates
+
+    t = transcript_df(spark, sf_dir)
+    return cross_group_duplicates(t, "conv_id", "text", min_groups=10)
+
+
+def q_emb_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health per label cohort: NULL vectors, wrong
+    dims, non-finite components, zero norms, plus the norm envelope of
+    the structurally-valid rows (counters are all 0 on the clean
+    testdata by construction — the norm stats carry the hash signal;
+    planted-violation detection is pytest-covered in
+    tests/test_constraints.py)."""
+    from matric_spark.checks.embedding import embedding_integrity
+
+    return embedding_integrity(_emb(spark, sf_dir), expected_dim=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "colstats": q_colstats,
@@ -1370,6 +1418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dup_spans": q_conv_dup_spans,
         "heavy_hitters": q_heavy_hitters,
         "doc_sample_weighted": q_doc_sample_weighted,
+        "fd_violations": q_fd_violations,
+        "rule_violations": q_rule_violations,
+        "boilerplate_turns": q_boilerplate_turns,
+        "emb_integrity": q_emb_integrity,
         "text_parity": q_text_parity,
         "fk_summary": q_fk_summary,
     }
@@ -2006,6 +2058,72 @@ SELECT 'customer.c_nationkey->nation',
     )}"""
 
     sql["doc_sample_weighted"] = dk.weighted_sample_sql(0.2)
+
+    # FD audit: duplicate keys whose copies disagree; distinct-counts run
+    # over the shared 60-bit payload hash on BOTH engines (Spark hashes
+    # string dependents before the shuffle — the oracle must count the
+    # same space or a 2^-60 collision would diverge the engines).
+    _ht, _hr = dk.hexbig("text"), dk.hexbig("role")
+    sql["fd_violations"] = f"""{_T}
+SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT {_ht}) AS BIGINT) AS n_text,
+       CAST(count(DISTINCT {_hr}) AS BIGINT) AS n_role
+FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+GROUP BY 1, 2
+HAVING count(DISTINCT {_ht}) > 1 OR count(DISTINCT {_hr}) > 1"""
+
+    # one SELECT per rule (checks/constraints.default_transcript_rules);
+    # the Spark side emits the same (rule, row) multiset from one scan
+    sql["rule_violations"] = f"""{_T}
+SELECT 'tool_turns_use_tool_role' AS rule, conv_id, turn_idx, part_month
+FROM transcripts
+WHERE tool IS NOT NULL AND NOT coalesce(role = 'tool', false)
+UNION ALL
+SELECT 'first_turn_is_system', conv_id, turn_idx, part_month
+FROM transcripts
+WHERE turn_idx = 0 AND NOT coalesce(role = 'system', false)
+UNION ALL
+SELECT 'dialogue_text_present', conv_id, turn_idx, part_month
+FROM transcripts
+WHERE role IN ('user', 'assistant') AND text IS NULL"""
+
+    _bnorm = dk.hexbig(dk.NORM.format(col="text"))
+    sql["boilerplate_turns"] = f"""{_T}
+SELECT {_bnorm} AS content_fp,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM transcripts WHERE text IS NOT NULL
+GROUP BY 1 HAVING count(DISTINCT conv_id) >= 10"""
+
+    # norm parity recipe: per-row round(sqrt(list_dot_product), 6) + 0
+    # mirrors Spark's sequential F.aggregate sum-of-squares (the same
+    # pairing emb_near_dup's gate already proves bit-stable)
+    sql["emb_integrity"] = """
+WITH t AS (
+  SELECT label,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null,
+         CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+              THEN 1 ELSE 0 END AS bad_dim,
+         CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+                x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+              THEN 1 ELSE 0 END AS nonfinite,
+         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+  FROM embeddings),
+f AS (
+  SELECT label, is_null, bad_dim, nonfinite,
+         CASE WHEN is_null = 0 AND bad_dim = 0 AND nonfinite = 0
+                   AND sq = 0.0 THEN 1 ELSE 0 END AS zero_norm,
+         CASE WHEN is_null = 0 AND bad_dim = 0 AND nonfinite = 0
+                   AND sq > 0.0 THEN round(sqrt(sq), 6) + 0 END AS norm
+  FROM t)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(is_null) AS BIGINT) AS n_null_vec,
+       CAST(sum(bad_dim) AS BIGINT) AS n_bad_dim,
+       CAST(sum(nonfinite) AS BIGINT) AS n_nonfinite,
+       CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
+       min(norm) AS min_norm, max(norm) AS max_norm,
+       (round(avg(norm), 6) + 0) AS avg_norm
+FROM f GROUP BY label"""
 
     # self-parity is exactly zero violation rows
     sql["text_parity"] = f"""{_T}

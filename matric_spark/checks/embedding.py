@@ -1,0 +1,82 @@
+"""Embedding-column integrity audit.
+
+The validation-suite counterpart of operators/ann.py: before a corpus's
+embedding table feeds dedup/ANN, verify the vectors are actually usable —
+NULL vectors, wrong dimensionality, non-finite components, and zero norms
+all silently poison cosine pipelines (a zero-norm vector turns normalized
+dot products into NULL/NaN depending on the engine; ann._normalized
+guards per-op, this audits per-table).
+
+Reference lineage: matric validates its input frames up front
+(R/sim.R:113-170 sim_validate's structural asserts) rather than letting
+bad rows surface mid-pipeline; this is that discipline applied to an
+array<float> column.
+
+Scale design: one scan, one hash aggregate keyed by the (low-cardinality)
+group column. Per-row flags and the norm are codegen array expressions
+(F.exists / F.aggregate — no UDF, no explode: the d components never
+leave the row). The output is one row per group, so the shuffle is a few
+counters per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_integrity(
+    emb: DataFrame,
+    expected_dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group vector-health counters + norm envelope.
+
+    Returns (group, n_vecs, n_null_vec, n_bad_dim, n_nonfinite,
+    n_zero_norm, min_norm, max_norm, avg_norm). Norm stats cover only
+    vectors that pass every structural check, so they are well-defined;
+    each norm is rounded to 6dp BEFORE the min/max/avg (the oracle-parity
+    recipe: per-row rounding pins a fixed float-op order, and the final
+    avg re-rounds, so cross-row accumulation-order noise stays ~9 orders
+    of magnitude below the rounding quantum).
+    """
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    bad_dim = ~is_null & (F.size(v) != F.lit(expected_dim))
+    nonfinite = (
+        ~is_null
+        & F.exists(
+            v,
+            lambda x: F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
+    )
+    sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    structurally_ok = ~is_null & ~bad_dim & ~nonfinite
+    zero_norm = structurally_ok & (sq == 0.0)
+    norm = F.when(
+        structurally_ok & (sq > 0.0), F.round(F.sqrt(sq), 6) + F.lit(0.0)
+    )
+    t = emb.select(
+        F.col(group_col),
+        is_null.cast("long").alias("_null"),
+        bad_dim.cast("long").alias("_bad_dim"),
+        nonfinite.cast("long").alias("_nonfinite"),
+        zero_norm.cast("long").alias("_zero"),
+        norm.alias("_norm"),
+    )
+    return t.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("_null").alias("n_null_vec"),
+        F.sum("_bad_dim").alias("n_bad_dim"),
+        F.sum("_nonfinite").alias("n_nonfinite"),
+        F.sum("_zero").alias("n_zero_norm"),
+        F.min("_norm").alias("min_norm"),
+        F.max("_norm").alias("max_norm"),
+        (F.round(F.avg("_norm"), 6) + F.lit(0.0)).alias("avg_norm"),
+    )

@@ -84,6 +84,39 @@ def exact_dedup(
     return hashed.join(keep, on=["_fp", *id_cols], how="left_semi").drop("_fp")
 
 
+def cross_group_duplicates(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    text_col: str = "text",
+    min_groups: int = 2,
+) -> DataFrame:
+    """Boilerplate detector: content repeated across ≥ min_groups groups.
+
+    Exact dedup counts copies; this counts DISTINCT CONTAINERS — text
+    that recurs across many conversations (canned system prompts, tool
+    headers, crawl chrome) is boilerplate a training pipeline usually
+    wants weighted down even when within-conversation repeats are fine.
+    Returns (content_fp, n_groups, n_rows) for hashes crossing the bar.
+
+    Scale shape: hash-first like exact_duplicates — the shuffle carries
+    (60-bit content hash, group id) pairs only, never text, and Spark
+    plans the count-distinct as the standard expand + two-phase
+    aggregate, so per-partition (fp, group) repeats collapse map-side.
+    """
+    hashed = df.filter(F.col(text_col).isNotNull()).select(
+        md5_long(normalized_text(text_col)).alias("content_fp"),
+        F.col(group_col).alias("_g"),
+    )
+    return (
+        hashed.groupBy("content_fp")
+        .agg(
+            F.countDistinct("_g").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.col("n_groups") >= min_groups)
+    )
+
+
 # ------------------------------------------------------ shingle sets
 
 

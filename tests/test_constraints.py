@@ -1,0 +1,132 @@
+"""Planted-violation tests for the declarative constraint checks
+(checks/constraints.py), the boilerplate detector (dedup.
+cross_group_duplicates), and the embedding integrity audit
+(checks/embedding.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from matric_spark.checks.constraints import (
+    Rule,
+    default_transcript_rules,
+    fd_violations,
+    rule_violations,
+)
+from matric_spark.checks.embedding import embedding_integrity
+from matric_spark.operators.dedup import cross_group_duplicates
+
+
+def test_fd_violations_flags_only_disagreeing_duplicates(tiny_transcripts):
+    # (B, 1) is duplicated with DIFFERENT text ('a1' vs 'a1-dup') → FD hit.
+    # No other key is duplicated, so uniqueness ⊋ FD here.
+    out = fd_violations(
+        tiny_transcripts, ["conv_id", "turn_idx"], ["text", "role"]
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.conv_id, row.turn_idx) == ("B", 1)
+    assert row.n_rows == 2 and row.n_text == 2 and row.n_role == 1
+
+
+def test_fd_violations_agreeing_duplicates_pass(spark):
+    # same key twice with identical payload → NOT an FD violation
+    df = spark.createDataFrame(
+        [("A", 0, "x"), ("A", 0, "x"), ("B", 0, "y")], "k string, i int, v string"
+    )
+    assert fd_violations(df, ["k", "i"], ["v"]).count() == 0
+
+
+def test_fd_violations_null_semantics(spark):
+    # NULL dependent never conflicts (count-distinct skips it); NULL keys
+    # are excluded entirely (join semantics).
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", None), (None, "p"), (None, "q")], "k string, v string"
+    )
+    assert fd_violations(df, ["k"], ["v"]).count() == 0
+
+
+def test_rule_violations_planted(tiny_transcripts):
+    out = rule_violations(tiny_transcripts, default_transcript_rules())
+    got = {(r.rule, r.conv_id, r.turn_idx) for r in out.collect()}
+    assert got == {
+        # telnet tool on an assistant row
+        ("tool_turns_use_tool_role", "C", 2),
+        # moderator at turn 0 / conversation B opens with a user turn
+        ("first_turn_is_system", "C", 0),
+        ("first_turn_is_system", "B", 0),
+        # null text on a user turn
+        ("dialogue_text_present", "B", 3),
+    }
+    # B2 is role='tool' WITH tool set → not a violation of rule 1
+
+
+def test_rule_violations_multiple_rules_one_row(spark):
+    # one row can violate several rules → one output row per (rule, row)
+    df = spark.createDataFrame(
+        [("A", 0, "user", None, "bash", 1)],
+        "conv_id string, turn_idx int, role string, text string, tool string, part_month int",
+    )
+    out = rule_violations(df, default_transcript_rules())
+    assert {r.rule for r in out.collect()} == {
+        "tool_turns_use_tool_role",
+        "first_turn_is_system",
+        "dialogue_text_present",
+    }
+
+
+def test_rule_null_must_is_violation(spark):
+    # three-valued logic collapses to failed-check: must==NULL → violated
+    df = spark.createDataFrame([("A", 0, None, None, None, 1)],
+        "conv_id string, turn_idx int, role string, text string, tool string, part_month int")
+    r = Rule("role_known", F.lit(True), F.col("role") == "user")
+    assert rule_violations(df, [r]).count() == 1
+
+
+def test_cross_group_duplicates_counts_containers(spark):
+    rows = (
+        [("c%d" % i, "the same boilerplate") for i in range(5)]
+        + [("c0", "the same boilerplate")]  # within-group repeat: n_rows only
+        + [("c0", "unique line"), ("c1", "pair line"), ("c2", "pair line")]
+    )
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = {r.content_fp: r for r in
+           cross_group_duplicates(df, "conv_id", "text", min_groups=3).collect()}
+    assert len(out) == 1  # only the 5-conversation boilerplate crosses 3
+    (row,) = out.values()
+    assert row.n_groups == 5 and row.n_rows == 6
+    # at min_groups=2 the pair line appears too
+    assert cross_group_duplicates(df, "conv_id", "text", min_groups=2).count() == 2
+
+
+def test_embedding_integrity_planted(spark):
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [3.0, 4.0], 0),          # valid, norm 5
+        (2, [0.0, 0.0], 0),          # zero norm
+        (3, [1.0, nan], 0),          # NaN component
+        (4, [1.0, -inf], 0),         # Inf component
+        (5, None, 0),                # NULL vector
+        (6, [1.0, 2.0, 2.0], 0),     # wrong dim
+        (7, [6.0, 8.0], 1),          # valid, norm 10 (other group)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.label: r for r in embedding_integrity(df, expected_dim=2).collect()}
+    g0 = out[0]
+    assert (g0.n_vecs, g0.n_null_vec, g0.n_bad_dim, g0.n_nonfinite,
+            g0.n_zero_norm) == (6, 1, 1, 2, 1)
+    assert math.isclose(g0.min_norm, 5.0) and math.isclose(g0.max_norm, 5.0)
+    assert math.isclose(g0.avg_norm, 5.0)
+    g1 = out[1]
+    assert (g1.n_vecs, g1.n_zero_norm) == (1, 0)
+    assert math.isclose(g1.avg_norm, 10.0)
+
+
+def test_rule_violations_is_shuffle_free(tiny_transcripts):
+    # the rule pack must stay a narrow map: no Exchange in the plan
+    plan = rule_violations(
+        tiny_transcripts, default_transcript_rules()
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
