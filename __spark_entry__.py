@@ -1285,6 +1285,48 @@ def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimate audit over the exact top-50 conv_id
+    counts: emit keys whose CMS estimate breaks the sketch's bounds —
+    BELOW the exact count (mathematically impossible for a correct CMS)
+    or above it by more than the e·N/width Markov slack. Deterministic
+    hashes + fixed data make the pass/fail reproducible; empirical
+    overshoot is ~7 at sf0.01 vs slack 20 (and scales with N). The
+    violation set must be empty → empty-set oracle, the sketch_bounds
+    pattern. The single .count() is sketch-parameter state (the N in
+    the bound), not a data collect."""
+    import math
+
+    from matric_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+
+    t = transcript_df(spark, sf_dir).select("conv_id")
+    exact = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("conv_id")).limit(50)
+    est = cms_estimate(cms_build(t, "conv_id"), top.select("conv_id"), "conv_id")
+    slack = math.ceil(math.e / CMS_WIDTH * t.count())
+    return (
+        top.join(est, "conv_id")
+        .filter(
+            (F.col("cms_est") < F.col("n_exact"))
+            | (F.col("cms_est") > F.col("n_exact") + F.lit(slack))
+        )
+        .select("conv_id", "n_exact", "cms_est")
+    )
+
+
+def q_partition_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume profile per partition month: row count, relative
+    delta vs the previous populated month, calendar gaps — the
+    volume-anomaly check distribution drift can't see."""
+    from matric_spark.checks.column_stats import partition_volume
+
+    return partition_volume(transcript_df(spark, sf_dir), "part_month")
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit (conv_id, turn_idx) → (text, role):
     duplicate keys whose copies DISAGREE — the subset of uniqueness
@@ -1418,6 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dup_spans": q_conv_dup_spans,
         "heavy_hitters": q_heavy_hitters,
         "doc_sample_weighted": q_doc_sample_weighted,
+        "partition_volume": q_partition_volume,
+        "cms_topk_bounds": q_cms_topk_bounds,
         "fd_violations": q_fd_violations,
         "rule_violations": q_rule_violations,
         "boilerplate_turns": q_boilerplate_turns,
@@ -2058,6 +2102,29 @@ SELECT 'customer.c_nationkey->nation',
     )}"""
 
     sql["doc_sample_weighted"] = dk.weighted_sample_sql(0.2)
+
+    # CMS bound audit: the violation set is empty by the sketch's own
+    # guarantees (lower bound exact, upper bound within e·N/width slack,
+    # verified deterministic on this data at all three SFs)
+    sql["cms_topk_bounds"] = """
+SELECT CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS BIGINT) AS n_exact,
+       CAST(NULL AS BIGINT) AS cms_est WHERE 1 = 0"""
+
+    # volume profile: one row per partition month; the lag window runs
+    # over the aggregated (month, count) table, so the unpartitioned
+    # ORDER BY is over distinct months — deterministic on both engines
+    sql["partition_volume"] = f"""{_T},
+a AS (SELECT part_month, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(floor(part_month / 100.0) AS BIGINT) * 12
+               + part_month % 100 AS idx
+      FROM transcripts GROUP BY 1)
+SELECT part_month, n_rows,
+       lag(part_month) OVER w AS prev_part,
+       lag(n_rows) OVER w AS prev_n,
+       idx - lag(idx) OVER w - 1 AS gap_months,
+       (round((n_rows - lag(n_rows) OVER w)
+              / CAST(lag(n_rows) OVER w AS DOUBLE), 6) + 0) AS delta_pct
+FROM a WINDOW w AS (ORDER BY part_month)"""
 
     # FD audit: duplicate keys whose copies disagree; distinct-counts run
     # over the shared 60-bit payload hash on BOTH engines (Spark hashes

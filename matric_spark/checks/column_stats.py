@@ -177,3 +177,60 @@ def robust_outliers(
             "robust_z",
         )
     )
+
+
+def partition_volume(
+    df: DataFrame,
+    partition_col: str = "part_month",
+    max_abs_delta: float | None = None,
+) -> DataFrame:
+    """Month-over-month ingest-volume profile per partition: row count,
+    relative delta vs the previous populated partition, and how many
+    calendar months were skipped in between.
+
+    The ops check the drift suite can't express: KS/PSI compare value
+    DISTRIBUTIONS, this compares VOLUME — a partition that silently
+    arrives 60% small (upstream backfill bug) or a missing month
+    (gap_months > 0) is invisible to distribution drift because the rows
+    that DID arrive look normal. ``max_abs_delta`` optionally filters to
+    anomalies only; None returns the full profile (every partition, so
+    the output doubles as the ingest-volume dashboard table).
+
+    Partition keys are YYYYMM ints (the repo-wide convention —
+    sources/transcripts_view.py derives them from the event timestamp;
+    an Iceberg months(ts) partition transform yields the same key).
+
+    Scale shape: one count aggregate keyed by partition (map-side
+    combined), then a single unpartitioned lag window over ONE ROW PER
+    PARTITION — thousands of rows at 100 TB, not billions, so the
+    single-task window is free and exactly as parallel as it needs to be.
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    idx = (
+        F.floor(F.col(partition_col) / 100) * 12 + F.col(partition_col) % 100
+    ).alias("_idx")
+    w = Window.orderBy(partition_col)
+    out = (
+        agg.select(partition_col, "n_rows", idx)
+        .withColumn("prev_part", F.lag(partition_col).over(w))
+        .withColumn("prev_n", F.lag("n_rows").over(w))
+        .withColumn("gap_months", F.col("_idx") - F.lag("_idx").over(w) - 1)
+        .withColumn(
+            "delta_pct",
+            F.round(
+                (F.col("n_rows") - F.col("prev_n"))
+                / F.col("prev_n").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .drop("_idx")
+    )
+    if max_abs_delta is not None:
+        out = out.filter(
+            (F.abs(F.col("delta_pct")) > max_abs_delta)
+            | (F.col("gap_months") > 0)
+        )
+    return out

@@ -200,3 +200,91 @@ def hll_distinct(
     return partials.groupBy(*gc).applyInPandas(
         fold, f"{key_schema}, approx_distinct long"
     )
+
+
+# ------------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 5
+CMS_WIDTH = 8192
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of a key column → DataFrame[(d, b, c)].
+
+    Pure DataFrame formulation — a CMS is nothing but `depth`
+    hash-bucket count aggregates, so no UDF is needed: each row explodes
+    to `depth` (row, bucket) coordinates and one combinable count runs
+    over them. The map-side combiner bounds every partition's shuffle
+    output at depth×width rows (the sketch size), NOT the input size —
+    the defining property of a mergeable sketch, delivered here by
+    Spark's own partial aggregation. Merging two sketches = unioning
+    their coordinate tables and re-summing, which is exactly what the
+    shuffle reduce does, so cross-run/cross-partition folds reuse this
+    same function's output tables.
+
+    Unlike heavy_hitters' exact count (one (key, count) partial PER
+    DISTINCT KEY), the CMS shuffle is O(depth × width) regardless of key
+    cardinality — the estimator to reach for when the key space itself
+    (URLs, n-grams, user ids) is too wide to count exactly.
+    """
+    coords = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col).cast("string"), F.lit(i)),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return coords.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate counts for a candidate key set → (key, cms_est).
+
+    est(k) = min over the depth rows of the key's bucket counters —
+    never BELOW the true count (every occurrence of k incremented all
+    d of its counters), above it only by colliding keys' mass
+    (≤ e/width · N with prob 1 − e^-depth per key). The candidate set
+    joins the depth×width sketch via broadcast (the sketch is KBs).
+    """
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col).cast("string"), F.lit(i)),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.*")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )

@@ -130,3 +130,24 @@ def test_rule_violations_is_shuffle_free(tiny_transcripts):
         tiny_transcripts, default_transcript_rules()
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_partition_volume_gap_and_delta(spark):
+    from matric_spark.checks.column_stats import partition_volume
+
+    # 202312: 100 rows; 202401: 40 rows (-60%); 202403: 50 rows
+    # (202402 missing -> gap_months 1)
+    rows = (
+        [(202312, i) for i in range(100)]
+        + [(202401, i) for i in range(40)]
+        + [(202403, i) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "part_month int, x int")
+    out = {r.part_month: r for r in partition_volume(df, "part_month").collect()}
+    assert out[202312].prev_part is None and out[202312].delta_pct is None
+    assert out[202401].gap_months == 0 and abs(out[202401].delta_pct + 0.6) < 1e-9
+    assert out[202403].gap_months == 1 and out[202403].prev_part == 202401
+    assert abs(out[202403].delta_pct - 0.25) < 1e-9
+    # anomaly filter keeps the shrink and the gap, drops the first row
+    flagged = partition_volume(df, "part_month", max_abs_delta=0.5).collect()
+    assert {r.part_month for r in flagged} == {202401, 202403}

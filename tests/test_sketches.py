@@ -77,3 +77,44 @@ def test_hll_deterministic(spark):
     a = hll_distinct(df.repartition(4), ["g"], "u").collect()[0].approx_distinct
     b = hll_distinct(df.repartition(13), ["g"], "u").collect()[0].approx_distinct
     assert a == b  # register folds are layout-independent
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+def test_cms_lower_bound_and_heavy_key(spark):
+    from matric_spark.operators.sketches import cms_build, cms_estimate
+    from pyspark.sql import functions as F
+
+    # 1 heavy key (5000 rows) + 2000 singleton keys
+    rows = [("hot",)] * 5000 + [(f"k{i}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(cms_build(df, "k"), exact.select("k"), "k")
+    j = {r.k: (r.n, r.cms_est) for r in exact.join(est, "k").collect()}
+    n, e = j["hot"]
+    assert e >= n, "CMS must never underestimate"
+    assert e <= n + 10  # 7000 rows / 8192 buckets: collisions are tiny
+    assert all(e >= n for n, e in j.values())
+
+
+def test_cms_merge_is_partition_invariant(spark):
+    # the sketch table must be identical however the input is split —
+    # THE mergeability property (groupBy sum is associative/commutative)
+    from matric_spark.operators.sketches import cms_build
+
+    rows = [(f"k{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string")
+    a = {(r.d, r.b): r.c for r in cms_build(df.repartition(1), "k").collect()}
+    b = {(r.d, r.b): r.c for r in cms_build(df.repartition(13), "k").collect()}
+    assert a == b
+
+
+def test_cms_shuffle_is_sketch_bounded(spark):
+    # plan sanity: build is explode -> ONE hash aggregate with a partial
+    # (map-side combine) phase; no join, no window
+    from matric_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(100)], "k string")
+    plan = cms_build(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "Join" not in plan
