@@ -1285,6 +1285,23 @@ def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary churn between consecutive partition months: token-set
+    Jaccard + new-token rate — moves before value drift does when a
+    source switches domains or a template floods in."""
+    from matric_spark.operators.text_analysis import vocab_drift
+
+    return vocab_drift(transcript_df(spark, sf_dir), "part_month")
+
+
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition duplicate-mass report: rows/bytes exact dedup would
+    delete, attributed to the partition each redundant copy lives in."""
+    from matric_spark.operators.dedup import dedup_impact
+
+    return dedup_impact(transcript_df(spark, sf_dir), "part_month")
+
+
 def q_cms_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch estimate audit over the exact top-50 conv_id
     counts: emit keys whose CMS estimate breaks the sketch's bounds —
@@ -1462,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_weighted": q_doc_sample_weighted,
         "partition_volume": q_partition_volume,
         "cms_topk_bounds": q_cms_topk_bounds,
+        "vocab_drift": q_vocab_drift,
+        "dedup_impact": q_dedup_impact,
         "fd_violations": q_fd_violations,
         "rule_violations": q_rule_violations,
         "boilerplate_turns": q_boilerplate_turns,
@@ -2102,6 +2121,56 @@ SELECT 'customer.c_nationkey->nation',
     )}"""
 
     sql["doc_sample_weighted"] = dk.weighted_sample_sql(0.2)
+
+    # vocabulary churn between consecutive months: distinct token sets,
+    # token-keyed intersection join, lag adjacency over one row/month.
+    # NULL text excluded explicitly on BOTH engines (parity trap).
+    _vnorm = dk.NORM.format(col="text")
+    sql["vocab_drift"] = f"""{_T},
+raw AS (SELECT part_month, unnest(string_split({_vnorm}, ' ')) AS token
+        FROM transcripts WHERE text IS NOT NULL),
+toks AS (SELECT DISTINCT part_month, token FROM raw),
+v AS (SELECT part_month, CAST(count(*) AS BIGINT) AS vocab_size
+      FROM toks GROUP BY 1),
+m AS (SELECT part_month, vocab_size,
+             lag(part_month) OVER (ORDER BY part_month) AS prev_part,
+             lag(vocab_size) OVER (ORDER BY part_month) AS prev_vocab
+      FROM v),
+i AS (SELECT b.part_month, CAST(count(*) AS BIGINT) AS inter_size
+      FROM m JOIN toks b ON b.part_month = m.part_month
+             JOIN toks a ON a.token = b.token AND a.part_month = m.prev_part
+      WHERE m.prev_part IS NOT NULL
+      GROUP BY 1)
+SELECT m.part_month, m.prev_part, m.vocab_size, m.prev_vocab,
+       coalesce(i.inter_size, 0) AS inter_size,
+       (round(CAST(coalesce(i.inter_size, 0) AS DOUBLE)
+              / (m.vocab_size + m.prev_vocab - coalesce(i.inter_size, 0)),
+              6) + 0) AS jaccard,
+       (round(CAST(m.vocab_size - coalesce(i.inter_size, 0) AS DOUBLE)
+              / m.vocab_size, 6) + 0) AS new_token_rate
+FROM m LEFT JOIN i ON i.part_month = m.part_month
+WHERE m.prev_part IS NOT NULL"""
+
+    # duplicate-mass attribution: row_number over the content hash with
+    # the SAME total order on both engines (NULLS FIRST explicit — DuckDB
+    # defaults to NULLS LAST, Spark to NULLS FIRST)
+    _dfp = dk.hexbig(dk.NORM.format(col="text"))
+    sql["dedup_impact"] = f"""{_T},
+h AS (SELECT part_month, conv_id, turn_idx, ts, {_dfp} AS fp,
+             length(text) AS len
+      FROM transcripts WHERE text IS NOT NULL),
+r AS (SELECT part_month, len,
+             row_number() OVER (PARTITION BY fp
+               ORDER BY conv_id NULLS FIRST, turn_idx NULLS FIRST,
+                        part_month NULLS FIRST, ts NULLS FIRST) AS rn
+      FROM h)
+SELECT part_month, CAST(count(*) AS BIGINT) AS n_text_rows,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
+       (round(sum(CASE WHEN rn > 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+        + 0) AS dup_pct,
+       CAST(sum(len) AS BIGINT) AS bytes_total,
+       CAST(sum(CASE WHEN rn > 1 THEN len ELSE 0 END) AS BIGINT) AS bytes_dup
+FROM r GROUP BY 1"""
 
     # CMS bound audit: the violation set is empty by the sketch's own
     # guarantees (lower bound exact, upper bound within e·N/width slack,

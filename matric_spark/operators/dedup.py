@@ -686,3 +686,56 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_impact(
+    df: DataFrame,
+    partition_col: str = "part_month",
+    text_col: str = "text",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-partition duplicate-mass report: what exact dedup would delete.
+
+    exact_duplicates says WHICH hashes repeat; this says WHAT IT COSTS,
+    attributed to the partition each redundant copy lives in — the
+    number a storage/training-budget owner acts on. Keeps the first copy
+    per content hash under a deterministic total order (order_cols, with
+    the partition key and a tiebreak baked in) and counts everything
+    after it as deletable. Returns (partition, n_text_rows, n_dup_rows,
+    dup_pct, bytes_total, bytes_dup).
+
+    Scale shape: one row_number window keyed by the 60-bit content hash
+    — the shuffle carries (hash, ids, length), never text; group width
+    is the duplicate multiplicity (crawl boilerplate ≈ thousands), far
+    below window-skew territory, and a pathological hash flood is
+    exactly the case the stop-shingle/salting levers upstream exist for.
+    """
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    from pyspark.sql import Window
+
+    h = df.filter(F.col(text_col).isNotNull()).select(
+        partition_col,
+        *order_cols,
+        "ts",
+        md5_long(normalized_text(text_col)).alias("_fp"),
+        F.length(text_col).alias("_len"),
+    )
+    w = Window.partitionBy("_fp").orderBy(
+        *[F.asc_nulls_first(c) for c in order_cols],
+        F.asc_nulls_first(partition_col),
+        F.asc_nulls_first("ts"),
+    )
+    r = h.withColumn("_rn", F.row_number().over(w))
+    dup = (F.col("_rn") > 1).cast("long")
+    return r.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("n_text_rows"),
+        F.sum(dup).alias("n_dup_rows"),
+        (
+            F.round(F.sum(dup) / F.count(F.lit(1)).cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("dup_pct"),
+        F.sum("_len").alias("bytes_total"),
+        F.sum(F.when(F.col("_rn") > 1, F.col("_len")).otherwise(0)).alias(
+            "bytes_dup"
+        ),
+    )

@@ -446,3 +446,92 @@ def zipf_fit(docs: DataFrame, top_n: int = 500, group_col: str = "lang") -> Data
             cov * cov / (varx * vary),
         ).alias("r2"),
     )
+
+
+def vocab_drift(
+    df: DataFrame,
+    partition_col: str = "part_month",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary churn between consecutive populated partitions: token-set
+    Jaccard + new-token rate — the corpus-health counterpart of the value
+    drift suite (checks/drift.py). A crawler source switching domains, a
+    template flood, or a language-mix shift all move the VOCABULARY long
+    before they move length/value distributions; new_token_rate is the
+    canary a training-data pipeline alerts on.
+
+    Returns one row per partition that has a predecessor:
+    (partition, prev_part, vocab_size, prev_vocab, inter_size, jaccard,
+    new_token_rate) where jaccard = |A∩B| / |A∪B| over the distinct
+    token sets and new_token_rate = fraction of this partition's tokens
+    unseen in the previous one.
+
+    Scale shape: distinct (partition, token) pairs (map-side partial
+    distinct collapses per-partition repeats), one equi-join keyed on
+    token to count intersections with the predecessor cohort, and a lag
+    window over ONE ROW PER PARTITION for adjacency. The month-adjacency
+    table is broadcast; the token join shuffles vocab-sized tables, not
+    the corpus.
+    """
+    from pyspark.sql import Window
+
+    from matric_spark.functions.hashing import md5_long
+    from matric_spark.operators.dedup import normalized_text
+
+    # hash-first: tokens become 60-bit longs BEFORE the distinct, so both
+    # shuffles (distinct, intersection join) carry 8-byte keys instead of
+    # strings; set sizes are identical to string-distinct modulo a 2^-60
+    # collision (the fd_violations convention)
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            partition_col,
+            F.explode(F.split(normalized_text(text_col), " ")).alias("_t"),
+        )
+        .select(partition_col, md5_long(F.col("_t")).alias("token"))
+        .distinct()
+    )
+    vocab = toks.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("vocab_size")
+    )
+    w = Window.orderBy(partition_col)
+    months = vocab.select(
+        partition_col,
+        "vocab_size",
+        F.lag(partition_col).over(w).alias("prev_part"),
+        F.lag("vocab_size").over(w).alias("prev_vocab"),
+    ).filter(F.col("prev_part").isNotNull())
+
+    b = toks.join(
+        F.broadcast(months.select(partition_col, "prev_part")), partition_col
+    )
+    a = toks.select(
+        F.col(partition_col).alias("prev_part"), F.col("token").alias("token")
+    )
+    inter = (
+        b.join(a, ["prev_part", "token"])
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("inter_size"))
+    )
+    out = months.join(inter, partition_col, "left").withColumn(
+        "inter_size", F.coalesce(F.col("inter_size"), F.lit(0))
+    )
+    union = (
+        F.col("vocab_size") + F.col("prev_vocab") - F.col("inter_size")
+    ).cast("double")
+    return out.select(
+        partition_col,
+        "prev_part",
+        "vocab_size",
+        "prev_vocab",
+        "inter_size",
+        (F.round(F.col("inter_size") / union, 6) + F.lit(0.0)).alias("jaccard"),
+        (
+            F.round(
+                (F.col("vocab_size") - F.col("inter_size"))
+                / F.col("vocab_size").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("new_token_rate"),
+    )

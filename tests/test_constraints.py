@@ -151,3 +151,49 @@ def test_partition_volume_gap_and_delta(spark):
     # anomaly filter keeps the shrink and the gap, drops the first row
     flagged = partition_volume(df, "part_month", max_abs_delta=0.5).collect()
     assert {r.part_month for r in flagged} == {202401, 202403}
+
+
+def test_vocab_drift_churn(spark):
+    from matric_spark.operators.text_analysis import vocab_drift
+
+    rows = (
+        # 202401 vocab {a b c d}; 202402 vocab {c d e f}: inter 2,
+        # union 6, jaccard 1/3, new rate 1/2; 202403 identical to 202402
+        [(202401, "a b"), (202401, "c d")]
+        + [(202402, "c d"), (202402, "e f")]
+        + [(202403, "c d e f")]
+    )
+    df = spark.createDataFrame(rows, "part_month int, text string")
+    out = {r.part_month: r for r in vocab_drift(df, "part_month").collect()}
+    assert set(out) == {202402, 202403}  # first month has no predecessor
+    r2 = out[202402]
+    assert (r2.vocab_size, r2.prev_vocab, r2.inter_size) == (4, 4, 2)
+    assert abs(r2.jaccard - 1 / 3) < 1e-6 and abs(r2.new_token_rate - 0.5) < 1e-6
+    r3 = out[202403]
+    assert r3.inter_size == 4 and r3.jaccard == 1.0 and r3.new_token_rate == 0.0
+
+
+def test_dedup_impact_attribution(spark):
+    import datetime as dt
+
+    from matric_spark.operators.dedup import dedup_impact
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # 'dup' first copy lives in A/202401 (kept), two more copies:
+        # one in 202401, one in 202402 -> dup mass split across months
+        ("A", 0, "dup", t0, 202401),
+        ("B", 0, "dup", t0, 202401),
+        ("C", 0, "dup", t0, 202402),
+        ("A", 1, "unique one", t0, 202401),
+        ("C", 1, None, t0, 202402),  # null text: excluded entirely
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp, part_month int"
+    )
+    out = {r.part_month: r for r in dedup_impact(df, "part_month").collect()}
+    m1, m2 = out[202401], out[202402]
+    assert (m1.n_text_rows, m1.n_dup_rows) == (3, 1)  # B0 is the 2nd copy
+    assert (m2.n_text_rows, m2.n_dup_rows) == (1, 1)  # C0 is the 3rd copy
+    assert m1.bytes_total == 3 + 3 + 10 and m1.bytes_dup == 3
+    assert abs(m1.dup_pct - 1 / 3) < 1e-6 and m2.dup_pct == 1.0
