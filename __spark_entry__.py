@@ -1285,6 +1285,16 @@ def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_verdicts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core per-partition verdicts + the declarative families (rule
+    pack, intra-partition FD conflicts, ingest-volume swing) in one
+    verdict table — the full constraint-suite emission."""
+    from matric_spark.checks.suite import SuiteConfig, run_verdicts_extended
+
+    t = transcript_df(spark, sf_dir)
+    return _round6(run_verdicts_extended(t, SuiteConfig()), ["metric"])
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary churn between consecutive partition months: token-set
     Jaccard + new-token rate — moves before value drift does when a
@@ -1481,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_bounds": q_cms_topk_bounds,
         "vocab_drift": q_vocab_drift,
         "dedup_impact": q_dedup_impact,
+        "verdicts_extended": q_verdicts_extended,
         "fd_violations": q_fd_violations,
         "rule_violations": q_rule_violations,
         "boilerplate_turns": q_boilerplate_turns,
@@ -1886,6 +1897,66 @@ SELECT part, 'drift_ks', (round(ks_d, 6) + 0),
 UNION ALL
 SELECT part, 'drift_psi', (round(psi, 6) + 0),
        CASE WHEN psi > 0.25 THEN 'fail' ELSE 'pass' END FROM wide"""
+
+    # extended suite = core verdicts SQL + three more check families;
+    # built by splicing extra CTEs ahead of `wide` and appending UNION
+    # blocks, so any parity fix to the core oracle flows through
+    assert "wide AS (" in sql["verdicts"]
+    _xt, _xr = dk.hexbig("text"), dk.hexbig("role")
+    _EXT_CTES = f"""ragg AS (
+  SELECT part_month AS part,
+         CAST(sum(CASE WHEN tool IS NOT NULL
+                        AND NOT coalesce(role = 'tool', false)
+                  THEN 1 ELSE 0 END) AS BIGINT) r_tool_role,
+         CAST(sum(CASE WHEN turn_idx = 0
+                        AND NOT coalesce(role = 'system', false)
+                  THEN 1 ELSE 0 END) AS BIGINT) r_first_sys,
+         CAST(sum(CASE WHEN role IN ('user', 'assistant') AND text IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) r_dialog_text
+  FROM transcripts GROUP BY 1),
+fdc AS (
+  SELECT part, CAST(count(*) AS BIGINT) fd_conflict FROM (
+    SELECT part_month AS part, conv_id, turn_idx
+    FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+    GROUP BY 1, 2, 3
+    HAVING count(DISTINCT {_xt}) > 1 OR count(DISTINCT {_xr}) > 1) g
+  GROUP BY 1),
+vraw AS (SELECT part_month AS part, CAST(count(*) AS BIGINT) n_rows,
+                CAST(floor(part_month / 100.0) AS BIGINT) * 12
+                  + part_month % 100 AS idx
+         FROM transcripts GROUP BY 1),
+vol AS (SELECT part,
+               (round((n_rows - lag(n_rows) OVER w)
+                      / CAST(lag(n_rows) OVER w AS DOUBLE), 6) + 0) AS delta_pct,
+               idx - lag(idx) OVER w - 1 AS gap_months
+        FROM vraw WINDOW w AS (ORDER BY part)),
+"""
+    _EXT_UNIONS = """
+UNION ALL
+SELECT part, 'rule_tool_turns_use_tool_role',
+       (round(CAST(r_tool_role AS DOUBLE), 6) + 0),
+       CASE WHEN r_tool_role > 0 THEN 'fail' ELSE 'pass' END FROM ragg
+UNION ALL
+SELECT part, 'rule_first_turn_is_system',
+       (round(CAST(r_first_sys AS DOUBLE), 6) + 0),
+       CASE WHEN r_first_sys > 0 THEN 'fail' ELSE 'pass' END FROM ragg
+UNION ALL
+SELECT part, 'rule_dialogue_text_present',
+       (round(CAST(r_dialog_text AS DOUBLE), 6) + 0),
+       CASE WHEN r_dialog_text > 0 THEN 'fail' ELSE 'pass' END FROM ragg
+UNION ALL
+SELECT r.part, 'fd_conflict',
+       (round(CAST(coalesce(f.fd_conflict, 0) AS DOUBLE), 6) + 0),
+       CASE WHEN coalesce(f.fd_conflict, 0) > 0 THEN 'fail' ELSE 'pass' END
+FROM ragg r LEFT JOIN fdc f ON f.part = r.part
+UNION ALL
+SELECT part, 'volume_delta', delta_pct,
+       CASE WHEN abs(delta_pct) > 0.5 OR gap_months > 0
+            THEN 'fail' ELSE 'pass' END FROM vol"""
+    sql["verdicts_extended"] = (
+        sql["verdicts"].replace("wide AS (", _EXT_CTES + "wide AS (", 1)
+        + _EXT_UNIONS
+    )
 
     # ---- training-data pipeline oracles (documents/embeddings views) ----
     sql["doc_text_stats"] = dk.doc_text_stats_sql()

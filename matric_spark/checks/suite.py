@@ -119,6 +119,126 @@ def run_verdicts(df: DataFrame, cfg: SuiteConfig | None = None) -> DataFrame:
     ).select("part", "check_id", F.col("ms.m").alias("metric"), F.col("ms.s").alias("status"))
 
 
+def run_verdicts_extended(
+    df: DataFrame,
+    cfg: SuiteConfig | None = None,
+    rules=None,
+    fd_dependents: list[str] | None = None,
+    volume_abs_delta: float = 0.5,
+) -> DataFrame:
+    """Core verdicts + the declarative check families, one verdict table.
+
+    Unions run_verdicts with three more per-partition check families in
+    the same (part, check_id, metric, status) schema:
+    - ``rule_<name>``: violation count per cross-field implication rule
+      (checks/constraints.Rule) — ALL rules ride ONE conditional
+      aggregation scan, the scalar_check_metrics pattern.
+    - ``fd_conflict``: intra-partition functional-dependency conflicts —
+      (key) groups within the partition whose copies disagree on any
+      dependent. Cross-partition conflicts are partition_spillover /
+      uniqueness territory; scoping FD to the partition keeps the
+      verdict attributable to the partition that must be re-validated.
+    - ``volume_delta``: month-over-month ingest-volume swing; fails on
+      |delta| > volume_abs_delta or any skipped calendar month. The
+      first populated partition has no predecessor → NULL metric,
+      'pass' (nothing to compare against).
+
+    Physical budget on top of run_verdicts: one fused rule/FD-input scan
+    shape — rules aggregate per partition (1 scan), FD aggregates per
+    (partition, key) then per partition (1 scan), volume reuses the
+    row-count aggregate (1 scan over the partition-count table). Joins
+    between the per-partition tables are partition-count-sized.
+    """
+    from matric_spark.checks.column_stats import partition_volume
+    from matric_spark.checks.constraints import default_transcript_rules
+    from matric_spark.functions.hashing import md5_long
+
+    cfg = cfg or SuiteConfig()
+    p = cfg.partition_col
+    rules = rules if rules is not None else default_transcript_rules()
+    fd_dependents = fd_dependents or ["text", "role"]
+
+    core = run_verdicts(df, cfg)
+
+    # rule pack: one conditional-aggregation pass
+    rule_agg = df.groupBy(F.col(p).alias("part")).agg(
+        *[
+            F.sum(r.violated().cast("long")).alias(f"rule_{r.name}")
+            for r in rules
+        ]
+    )
+
+    # intra-partition FD conflicts (payloads hashed pre-shuffle, the
+    # fd_violations convention)
+    dtypes = dict(df.dtypes)
+
+    def dep(c: str) -> Column:
+        return md5_long(F.col(c)) if dtypes.get(c) == "string" else F.col(c)
+
+    grp = df
+    for k in cfg.key:
+        grp = grp.filter(F.col(k).isNotNull())
+    fd_groups = grp.groupBy(F.col(p).alias("part"), *cfg.key).agg(
+        *[F.countDistinct(dep(c)).alias(f"_n_{c}") for c in fd_dependents]
+    )
+    fd_cond = None
+    for c in fd_dependents:
+        cc = F.col(f"_n_{c}") > 1
+        fd_cond = cc if fd_cond is None else (fd_cond | cc)
+    fd = (
+        fd_groups.filter(fd_cond)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("fd_conflict"))
+    )
+
+    vol = partition_volume(df, p).select(
+        F.col(p).alias("part"), "delta_pct", "gap_months"
+    )
+
+    wide = (
+        rule_agg.join(fd, "part", "left")
+        .join(vol, "part", "left")
+        .fillna(0, subset=["fd_conflict"])
+    )
+
+    structs: dict[str, Column] = {}
+    for r in rules:
+        c = F.col(f"rule_{r.name}")
+        structs[f"rule_{r.name}"] = F.struct(
+            c.cast("double").alias("m"),
+            F.when(c > 0, F.lit("fail")).otherwise(F.lit("pass")).alias("s"),
+        )
+    structs["fd_conflict"] = F.struct(
+        F.col("fd_conflict").cast("double").alias("m"),
+        F.when(F.col("fd_conflict") > 0, F.lit("fail"))
+        .otherwise(F.lit("pass"))
+        .alias("s"),
+    )
+    structs["volume_delta"] = F.struct(
+        F.col("delta_pct").cast("double").alias("m"),
+        F.when(
+            (F.abs(F.col("delta_pct")) > volume_abs_delta)
+            | (F.col("gap_months") > 0),
+            F.lit("fail"),
+        )
+        .otherwise(F.lit("pass"))
+        .alias("s"),
+    )
+    packed = wide.select("part", *[c.alias(n) for n, c in structs.items()])
+    extra = packed.unpivot(
+        ids=["part"],
+        values=list(structs),
+        variableColumnName="check_id",
+        valueColumnName="ms",
+    ).select(
+        "part",
+        "check_id",
+        F.col("ms.m").alias("metric"),
+        F.col("ms.s").alias("status"),
+    )
+    return core.unionByName(extra)
+
+
 def run_violations(df: DataFrame, cfg: SuiteConfig | None = None) -> dict[str, DataFrame]:
     """Materialized violation rows per check (matric's anti-join rows,
     R/sim_construct-validate.R:69-78)."""

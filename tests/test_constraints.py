@@ -197,3 +197,32 @@ def test_dedup_impact_attribution(spark):
     assert (m2.n_text_rows, m2.n_dup_rows) == (1, 1)  # C0 is the 3rd copy
     assert m1.bytes_total == 3 + 3 + 10 and m1.bytes_dup == 3
     assert abs(m1.dup_pct - 1 / 3) < 1e-6 and m2.dup_pct == 1.0
+
+
+def test_verdicts_extended_families(tiny_transcripts):
+    from matric_spark.checks.suite import (
+        SuiteConfig,
+        run_verdicts,
+        run_verdicts_extended,
+    )
+
+    cfg = SuiteConfig()
+    ext = run_verdicts_extended(tiny_transcripts, cfg)
+    rows = {(r.part, r.check_id): (r.metric, r.status) for r in ext.collect()}
+    core_n = run_verdicts(tiny_transcripts, cfg).count()
+    # 5 extra families x 2 partitions on top of the core table
+    assert len(rows) == core_n + 2 * 5
+    # part 2 holds conv C: telnet tool on assistant turn + moderator at 0
+    assert rows[(2, "rule_tool_turns_use_tool_role")] == (1.0, "fail")
+    assert rows[(2, "rule_first_turn_is_system")] == (1.0, "fail")
+    # part 1 holds B3 (null text on user) and B0 (user at turn 0)
+    assert rows[(1, "rule_dialogue_text_present")] == (1.0, "fail")
+    assert rows[(1, "rule_first_turn_is_system")] == (1.0, "fail")
+    # FD conflict: (B,1) duplicated with different text, lives in part 1
+    assert rows[(1, "fd_conflict")] == (1.0, "fail")
+    assert rows[(2, "fd_conflict")] == (0.0, "pass")
+    # volume: part 1 (first) has no predecessor; part 2 drops 8 -> 2 rows
+    m1, s1 = rows[(1, "volume_delta")]
+    assert m1 is None and s1 == "pass"
+    m2, s2 = rows[(2, "volume_delta")]
+    assert abs(m2 - (2 - 8) / 8) < 1e-6 and s2 == "fail"
