@@ -1285,6 +1285,16 @@ def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 25 docs per language by deterministic hash order — the
+    fixed-size eval-slice sampler (rate-based sampling can't promise a
+    count)."""
+    from matric_spark.operators.sampling import exact_k_per_stratum
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return exact_k_per_stratum(d, ["doc_id"], "lang", k=25, salt="topk-v1")
+
+
 def q_verdicts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core per-partition verdicts + the declarative families (rule
     pack, intra-partition FD conflicts, ingest-volume swing) in one
@@ -1492,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "dedup_impact": q_dedup_impact,
         "verdicts_extended": q_verdicts_extended,
+        "doc_sample_topk": q_doc_sample_topk,
         "fd_violations": q_fd_violations,
         "rule_violations": q_rule_violations,
         "boilerplate_turns": q_boilerplate_turns,
@@ -2157,6 +2168,16 @@ WHERE {dk.hash_uniform_sql(['doc_id'], 'mix-v1')} < r.mix_rate"""
 SELECT doc_id, lang FROM documents
 WHERE {dk.hash_uniform_sql(['doc_id'], 'sample-v1')}
       < CASE lang {_strat_case} ELSE 0.0 END"""
+
+    # exact-k per stratum: rank by the SAME salted hash draw, doc_id
+    # tiebreak (collisions ~2^-60 but the total order must be total)
+    sql["doc_sample_topk"] = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY {dk.hash_uniform_sql(['doc_id'], 'topk-v1')}, doc_id) AS rk
+  FROM documents) x
+WHERE rk <= 25"""
 
     sql["fk_summary"] = """
 SELECT 'orders.o_custkey->customer' AS fk,

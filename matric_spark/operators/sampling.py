@@ -202,3 +202,41 @@ def weighted_hash_sample(
         .withColumn(prob_col, F.round(F.col("_p"), 6) + F.lit(0.0))
         .drop("_sum_w", "_n", "_p")
     )
+
+
+def exact_k_per_stratum(
+    df: DataFrame,
+    id_cols: list[str],
+    stratum_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly k rows per stratum, chosen by uniform hash order.
+
+    The rate-based samplers (stratified_hash_sample) give each row an
+    independent Bernoulli draw — right for throughput, wrong when the
+    consumer needs a FIXED-SIZE set (an eval slice, a labeling batch, a
+    per-language probe set). Ranking rows within the stratum by their
+    deterministic hash draw and keeping rank ≤ k delivers exact counts
+    with the same reproducibility contract: adding rows to OTHER strata
+    never changes a stratum's selection, and re-runs are byte-identical.
+    (Unlike Bernoulli sampling, adding rows to the SAME stratum can
+    displace a previously-chosen row — inherent to any exact-k scheme.)
+
+    Shape: one window keyed by the stratum. Stratum cardinality bounds
+    the sort width; for k ≪ stratum size at extreme scale, pre-filter
+    with a rate ≈ (3k/|stratum|) Bernoulli pass first, then rank the
+    survivors — same result w.h.p., window input shrunk 1000×.
+    """
+    from pyspark.sql import Window
+
+    u = hash_uniform(id_cols, salt)
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.asc("_u"), *[F.asc(c) for c in id_cols]
+    )
+    return (
+        df.withColumn("_u", u)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_u", "_rk")
+    )

@@ -219,3 +219,24 @@ def stream_verdicts(
 
     fs = _FoldedStore(spark, state_dir)
     return assemble_verdicts(spark, fs, fingerprint, cfg)
+
+
+def rule_violation_stream(stream: DataFrame, rules=None, id_cols=None) -> DataFrame:
+    """Row-constraint monitor on a stream: the rule pack from
+    checks/constraints.rule_violations applied to micro-batches.
+
+    rule_violations compiles to a narrow map (array-of-name expression +
+    codegen filter + explode — no shuffle, no window, no state), so it
+    is directly streamable in append mode with no watermark: every
+    violating row is emitted exactly once, in the micro-batch it
+    arrives in. This is the live-firehose complement of the batch
+    rule_<name> verdicts in checks/suite.run_verdicts_extended — same
+    Rule objects, same violation semantics, differential-tested
+    streaming ≡ batch.
+    """
+    from matric_spark.checks.constraints import (
+        default_transcript_rules,
+        rule_violations,
+    )
+
+    return rule_violations(stream, rules or default_transcript_rules(), id_cols)

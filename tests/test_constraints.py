@@ -226,3 +226,32 @@ def test_verdicts_extended_families(tiny_transcripts):
     assert m1 is None and s1 == "pass"
     m2, s2 = rows[(2, "volume_delta")]
     assert abs(m2 - (2 - 8) / 8) < 1e-6 and s2 == "fail"
+
+
+def test_exact_k_per_stratum(spark):
+    from matric_spark.operators.sampling import exact_k_per_stratum
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = exact_k_per_stratum(df, ["doc_id"], "lang", k=10, salt="t")
+    got = out.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in got} == {"en": 10, "de": 10}
+    # deterministic: re-run selects the identical set
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in exact_k_per_stratum(df, ["doc_id"], "lang", 10, "t").collect()
+    )
+    assert a == b
+    # stratum isolation: adding rows to 'de' never changes 'en's picks
+    more = df.union(
+        spark.createDataFrame([(1000 + i, "de") for i in range(50)], "doc_id long, lang string")
+    )
+    en_before = {r.doc_id for r in out.filter("lang = 'en'").collect()}
+    en_after = {
+        r.doc_id
+        for r in exact_k_per_stratum(more, ["doc_id"], "lang", 10, "t")
+        .filter("lang = 'en'")
+        .collect()
+    }
+    assert en_before == en_after

@@ -237,3 +237,42 @@ def test_stream_dedup_first_arrival(spark, tmp_path):
     )
     batch_kept = sorted(r.doc_id for r in exact_dedup(all_rows).collect())
     assert got == batch_kept
+
+
+def test_stream_rule_violations_match_batch(spark, tiny_transcripts, staged_stream_dir):
+    """The rule pack is stateless (narrow map), so streaming it in
+    append mode must emit exactly the batch violation multiset."""
+    from matric_spark.checks.constraints import (
+        default_transcript_rules,
+        rule_violations,
+    )
+    from matric_spark.streaming.validate import (
+        TRANSCRIPT_DDL,
+        rule_violation_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_stream_dir)
+    )
+    q = (
+        rule_violation_stream(stream)
+        .writeStream.format("memory")
+        .queryName("rule_viol")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.rule, r.conv_id, r.turn_idx)
+        for r in spark.sql("SELECT * FROM rule_viol").collect()
+    )
+    want = sorted(
+        (r.rule, r.conv_id, r.turn_idx)
+        for r in rule_violations(
+            tiny_transcripts, default_transcript_rules()
+        ).collect()
+    )
+    assert got == want and len(got) > 0
