@@ -2247,14 +2247,16 @@ WHERE m.prev_part IS NOT NULL"""
     # the SAME total order on both engines (NULLS FIRST explicit — DuckDB
     # defaults to NULLS LAST, Spark to NULLS FIRST)
     _dfp = dk.hexbig(dk.NORM.format(col="text"))
+    _drawfp = dk.hexbig("text")
     sql["dedup_impact"] = f"""{_T},
 h AS (SELECT part_month, conv_id, turn_idx, ts, {_dfp} AS fp,
-             length(text) AS len
+             {_drawfp} AS rawfp, length(text) AS len
       FROM transcripts WHERE text IS NOT NULL),
 r AS (SELECT part_month, len,
              row_number() OVER (PARTITION BY fp
                ORDER BY conv_id NULLS FIRST, turn_idx NULLS FIRST,
-                        part_month NULLS FIRST, ts NULLS FIRST) AS rn
+                        part_month NULLS FIRST, ts NULLS FIRST,
+                        rawfp NULLS FIRST) AS rn
       FROM h)
 SELECT part_month, CAST(count(*) AS BIGINT) AS n_text_rows,
        CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_rows,
@@ -2333,20 +2335,28 @@ WITH t AS (
          CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
               THEN 1 ELSE 0 END AS bad_dim,
          CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
-                x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
+                x -> x IS NULL)) > 0
+              THEN 1 ELSE 0 END AS null_comp,
+         CASE WHEN embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0
+                AND len(list_filter(embedding,
+                  x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0
               THEN 1 ELSE 0 END AS nonfinite,
          list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
   FROM embeddings),
 f AS (
-  SELECT label, is_null, bad_dim, nonfinite,
-         CASE WHEN is_null = 0 AND bad_dim = 0 AND nonfinite = 0
-                   AND sq = 0.0 THEN 1 ELSE 0 END AS zero_norm,
-         CASE WHEN is_null = 0 AND bad_dim = 0 AND nonfinite = 0
-                   AND sq > 0.0 THEN round(sqrt(sq), 6) + 0 END AS norm
+  SELECT label, is_null, bad_dim, null_comp, nonfinite,
+         CASE WHEN is_null = 0 AND bad_dim = 0 AND null_comp = 0
+                   AND nonfinite = 0 AND sq = 0.0
+              THEN 1 ELSE 0 END AS zero_norm,
+         CASE WHEN is_null = 0 AND bad_dim = 0 AND null_comp = 0
+                   AND nonfinite = 0 AND sq > 0.0
+              THEN round(sqrt(sq), 6) + 0 END AS norm
   FROM t)
 SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(is_null) AS BIGINT) AS n_null_vec,
        CAST(sum(bad_dim) AS BIGINT) AS n_bad_dim,
+       CAST(sum(null_comp) AS BIGINT) AS n_null_component,
        CAST(sum(nonfinite) AS BIGINT) AS n_nonfinite,
        CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm,
        min(norm) AS min_norm, max(norm) AS max_norm,

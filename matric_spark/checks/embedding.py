@@ -44,8 +44,15 @@ def embedding_integrity(
     v = F.col(vec_col)
     is_null = v.isNull()
     bad_dim = ~is_null & (F.size(v) != F.lit(expected_dim))
+    # NULL components need their own counter: F.exists(isnan) returns
+    # NULL (not true) for a [1.0, NULL] vector, so without this flag a
+    # NULL-poisoned vector would hit NO counter and silently vanish
+    # from the norm stats — the exact failure mode this audit exists
+    # to catch
+    null_comp = ~is_null & F.exists(v, lambda x: x.isNull())
     nonfinite = (
         ~is_null
+        & ~null_comp
         & F.exists(
             v,
             lambda x: F.isnan(x.cast("double"))
@@ -57,7 +64,7 @@ def embedding_integrity(
         F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    structurally_ok = ~is_null & ~bad_dim & ~nonfinite
+    structurally_ok = ~is_null & ~bad_dim & ~null_comp & ~nonfinite
     zero_norm = structurally_ok & (sq == 0.0)
     norm = F.when(
         structurally_ok & (sq > 0.0), F.round(F.sqrt(sq), 6) + F.lit(0.0)
@@ -66,6 +73,7 @@ def embedding_integrity(
         F.col(group_col),
         is_null.cast("long").alias("_null"),
         bad_dim.cast("long").alias("_bad_dim"),
+        null_comp.cast("long").alias("_null_comp"),
         nonfinite.cast("long").alias("_nonfinite"),
         zero_norm.cast("long").alias("_zero"),
         norm.alias("_norm"),
@@ -74,6 +82,7 @@ def embedding_integrity(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("_null").alias("n_null_vec"),
         F.sum("_bad_dim").alias("n_bad_dim"),
+        F.sum("_null_comp").alias("n_null_component"),
         F.sum("_nonfinite").alias("n_nonfinite"),
         F.sum("_zero").alias("n_zero_norm"),
         F.min("_norm").alias("min_norm"),

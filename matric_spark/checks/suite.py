@@ -151,7 +151,6 @@ def run_verdicts_extended(
     """
     from matric_spark.checks.column_stats import partition_volume
     from matric_spark.checks.constraints import default_transcript_rules
-    from matric_spark.functions.hashing import md5_long
 
     cfg = cfg or SuiteConfig()
     p = cfg.partition_col
@@ -168,26 +167,15 @@ def run_verdicts_extended(
         ]
     )
 
-    # intra-partition FD conflicts (payloads hashed pre-shuffle, the
-    # fd_violations convention)
-    dtypes = dict(df.dtypes)
+    # intra-partition FD conflicts: REUSE constraints.fd_violations with
+    # the partition key prepended to the determinant (one definition of
+    # the hash-before-shuffle + null-key conventions; p is never null so
+    # its extra non-null filter is a no-op)
+    from matric_spark.checks.constraints import fd_violations
 
-    def dep(c: str) -> Column:
-        return md5_long(F.col(c)) if dtypes.get(c) == "string" else F.col(c)
-
-    grp = df
-    for k in cfg.key:
-        grp = grp.filter(F.col(k).isNotNull())
-    fd_groups = grp.groupBy(F.col(p).alias("part"), *cfg.key).agg(
-        *[F.countDistinct(dep(c)).alias(f"_n_{c}") for c in fd_dependents]
-    )
-    fd_cond = None
-    for c in fd_dependents:
-        cc = F.col(f"_n_{c}") > 1
-        fd_cond = cc if fd_cond is None else (fd_cond | cc)
     fd = (
-        fd_groups.filter(fd_cond)
-        .groupBy("part")
+        fd_violations(df, [p, *cfg.key], fd_dependents)
+        .groupBy(F.col(p).alias("part"))
         .agg(F.count(F.lit(1)).alias("fd_conflict"))
     )
 

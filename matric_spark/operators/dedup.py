@@ -713,17 +713,25 @@ def dedup_impact(
     order_cols = order_cols or ["conv_id", "turn_idx"]
     from pyspark.sql import Window
 
+    # _rawfp (hash of the RAW text) is the final tiebreak: rows can tie
+    # on every id/partition/ts column while their raw texts differ yet
+    # normalize to the same _fp ('a b' vs 'a  b') — without it rn
+    # assignment, hence bytes_dup, would be nondeterministic. Residual
+    # ties after _rawfp are byte-identical rows: same length, counts
+    # unaffected.
     h = df.filter(F.col(text_col).isNotNull()).select(
         partition_col,
         *order_cols,
         "ts",
         md5_long(normalized_text(text_col)).alias("_fp"),
+        md5_long(F.col(text_col)).alias("_rawfp"),
         F.length(text_col).alias("_len"),
     )
     w = Window.partitionBy("_fp").orderBy(
         *[F.asc_nulls_first(c) for c in order_cols],
         F.asc_nulls_first(partition_col),
         F.asc_nulls_first("ts"),
+        F.asc_nulls_first("_rawfp"),
     )
     r = h.withColumn("_rn", F.row_number().over(w))
     dup = (F.col("_rn") > 1).cast("long")

@@ -223,10 +223,11 @@ def exact_k_per_stratum(
     (Unlike Bernoulli sampling, adding rows to the SAME stratum can
     displace a previously-chosen row — inherent to any exact-k scheme.)
 
-    Shape: one window keyed by the stratum. Stratum cardinality bounds
-    the sort width; for k ≪ stratum size at extreme scale, pre-filter
-    with a rate ≈ (3k/|stratum|) Bernoulli pass first, then rank the
-    survivors — same result w.h.p., window input shrunk 1000×.
+    Shape: one window keyed by the stratum — and Catalyst inserts a
+    partial WindowGroupLimit below the exchange (plan-pinned in
+    tests/test_plans.py), so at most k rows per stratum PER INPUT
+    PARTITION ever cross the shuffle; the full-stratum sort never
+    materializes. No hand-rolled Bernoulli pre-filter needed.
     """
     from pyspark.sql import Window
 

@@ -208,6 +208,27 @@ CMS_DEPTH = 5
 CMS_WIDTH = 8192
 
 
+def _cms_coords(key_col: str, depth: int, width: int):
+    """The (d, b) hash-coordinate expression SHARED by build and
+    estimate — one definition so the two sides can never diverge (a
+    build/estimate hash mismatch would silently break the CMS
+    lower-bound guarantee)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("d"),
+                    F.pmod(
+                        F.xxhash64(F.col(key_col).cast("string"), F.lit(i)),
+                        F.lit(width),
+                    ).alias("b"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
@@ -232,22 +253,9 @@ def cms_build(
     cardinality — the estimator to reach for when the key space itself
     (URLs, n-grams, user ids) is too wide to count exactly.
     """
-    coords = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("d"),
-                        F.pmod(
-                            F.xxhash64(F.col(key_col).cast("string"), F.lit(i)),
-                            F.lit(width),
-                        ).alias("b"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("p")
-    ).select("p.*")
+    coords = df.select(_cms_coords(key_col, depth, width).alias("p")).select(
+        "p.*"
+    )
     return coords.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
 
 
@@ -267,21 +275,7 @@ def cms_estimate(
     joins the depth×width sketch via broadcast (the sketch is KBs).
     """
     probes = keys.select(
-        key_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("d"),
-                        F.pmod(
-                            F.xxhash64(F.col(key_col).cast("string"), F.lit(i)),
-                            F.lit(width),
-                        ).alias("b"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("p"),
+        key_col, _cms_coords(key_col, depth, width).alias("p")
     ).select(key_col, "p.*")
     return (
         probes.join(F.broadcast(sketch), ["d", "b"], "left")

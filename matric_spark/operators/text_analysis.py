@@ -481,7 +481,17 @@ def vocab_drift(
     # hash-first: tokens become 60-bit longs BEFORE the distinct, so both
     # shuffles (distinct, intersection join) carry 8-byte keys instead of
     # strings; set sizes are identical to string-distinct modulo a 2^-60
-    # collision (the fd_violations convention)
+    # collision (the fd_violations convention).
+    # toks feeds THREE consumers (vocab sizes, both intersection-join
+    # sides), so the explode+distinct re-executes per consumer. KEPT
+    # LAZY deliberately: each consumer's partial aggregation collapses
+    # the exploded tokens map-side (only |partitions|×|vocab| hash rows
+    # cross any exchange), so the recompute is scan-bound — and an
+    # eager localCheckpoint cut was MEASURED 2.3× slower at sf0.1
+    # (34.8 s vs 14.8 s cold) because it serializes the whole pipeline
+    # behind one materialization job. At cluster scale, materialize the
+    # distinct (partition, token-hash) table to parquet once per run if
+    # the corpus scan dominates (CLAUDE.md convention), same shape.
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(

@@ -111,12 +111,15 @@ def test_embedding_integrity_planted(spark):
         (5, None, 0),                # NULL vector
         (6, [1.0, 2.0, 2.0], 0),     # wrong dim
         (7, [6.0, 8.0], 1),          # valid, norm 10 (other group)
+        (8, [1.0, None], 0),         # NULL component (review finding:
+                                     # F.exists(isnan) is NULL here, so it
+                                     # needs its own counter)
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = {r.label: r for r in embedding_integrity(df, expected_dim=2).collect()}
     g0 = out[0]
-    assert (g0.n_vecs, g0.n_null_vec, g0.n_bad_dim, g0.n_nonfinite,
-            g0.n_zero_norm) == (6, 1, 1, 2, 1)
+    assert (g0.n_vecs, g0.n_null_vec, g0.n_bad_dim, g0.n_null_component,
+            g0.n_nonfinite, g0.n_zero_norm) == (7, 1, 1, 1, 2, 1)
     assert math.isclose(g0.min_norm, 5.0) and math.isclose(g0.max_norm, 5.0)
     assert math.isclose(g0.avg_norm, 5.0)
     g1 = out[1]
