@@ -1285,6 +1285,16 @@ def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition quarantine routing report: how many rows each
+    row-level check (domains, rule pack, duplicate keys, out-of-order
+    ts) would hold back, and what survives clean — the splitter's
+    dashboard numbers."""
+    from matric_spark.checks.quarantine import quarantine_summary
+
+    return quarantine_summary(transcript_df(spark, sf_dir))
+
+
 def q_doc_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 25 docs per language by deterministic hash order — the
     fixed-size eval-slice sampler (rate-based sampling can't promise a
@@ -1503,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_impact": q_dedup_impact,
         "verdicts_extended": q_verdicts_extended,
         "doc_sample_topk": q_doc_sample_topk,
+        "quarantine_summary": q_quarantine_summary,
         "fd_violations": q_fd_violations,
         "rule_violations": q_rule_violations,
         "boilerplate_turns": q_boilerplate_turns,
@@ -1908,6 +1919,41 @@ SELECT part, 'drift_ks', (round(ks_d, 6) + 0),
 UNION ALL
 SELECT part, 'drift_psi', (round(psi, 6) + 0),
        CASE WHEN psi > 0.25 THEN 'fail' ELSE 'pass' END FROM wide"""
+
+    # quarantine routing: one scan + two windows (key membership, conv
+    # ordering); reason flags mirror checks/quarantine._flags exactly
+    sql["quarantine_summary"] = f"""{_T},
+x AS (SELECT part_month, conv_id, turn_idx, role, tool, text, ts,
+        CASE WHEN conv_id IS NOT NULL AND turn_idx IS NOT NULL
+             THEN count(*) OVER (PARTITION BY conv_id, turn_idx)
+             ELSE 1 END AS keyn,
+        max(ts) OVER (PARTITION BY conv_id
+                      ORDER BY turn_idx NULLS FIRST, ts NULLS FIRST
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS prev_max
+      FROM transcripts),
+f AS (SELECT part_month,
+        (role IS NULL OR role NOT IN ({_ROLES})) AS bad_role,
+        (tool IS NOT NULL AND tool NOT IN ({_TOOLS})) AS bad_tool,
+        coalesce((tool IS NOT NULL AND NOT coalesce(role = 'tool', false))
+                 OR (turn_idx = 0 AND NOT coalesce(role = 'system', false))
+                 OR (role IN ('user', 'assistant') AND text IS NULL),
+                 false) AS rule,
+        (keyn > 1) AS dup_key,
+        coalesce(ts < prev_max, false) AS ooo
+      FROM x)
+SELECT part_month AS part, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN bad_role OR bad_tool OR rule OR dup_key OR ooo
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN NOT (bad_role OR bad_tool OR rule OR dup_key
+                               OR ooo)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN bad_role THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_role,
+       CAST(sum(CASE WHEN bad_tool THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_tool,
+       CAST(sum(CASE WHEN rule THEN 1 ELSE 0 END) AS BIGINT) AS n_rule,
+       CAST(sum(CASE WHEN dup_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_key,
+       CAST(sum(CASE WHEN ooo THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo
+FROM f GROUP BY 1"""
 
     # extended suite = core verdicts SQL + three more check families;
     # built by splicing extra CTEs ahead of `wide` and appending UNION

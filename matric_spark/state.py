@@ -179,6 +179,60 @@ class StateStore:
             self._for("sketch", fingerprint).dropDuplicates(["p", "v"])
         )
 
+    # ------------------------------------------------- schema evolution
+
+    def record_schema(self, df: DataFrame, fingerprint: str, seq: int) -> None:
+        """Append the table's (col, dtype) snapshot to the schema log.
+
+        ``seq`` is the caller's monotonically increasing run sequence —
+        an explicit ordinal instead of a wall-clock stamp so replays and
+        backfills stay deterministic (the state-table convention).
+        """
+        rows = [(seq, c, t) for c, t in df.dtypes]
+        snap = self.spark.createDataFrame(
+            rows, "seq int, col string, dtype string"
+        )
+        self._append(snap, "schema_log", fingerprint)
+
+    def last_schema(self, before_seq: int | None = None) -> list[tuple[str, str]] | None:
+        """The most recent recorded schema (optionally strictly before
+        ``before_seq``), as [(col, dtype)] — None if never recorded."""
+        log = self._read("schema_log", "seq int, col string, dtype string, fingerprint string")
+        if log is None:
+            return None
+        if before_seq is not None:
+            log = log.filter(F.col("seq") < before_seq)
+        rows = log.collect()  # schema log: O(runs × columns) rows, tiny
+        if not rows:
+            return None
+        top = max(r.seq for r in rows)
+        return [(r.col, r.dtype) for r in rows if r.seq == top]
+
+
+def schema_drift_vs_recorded(
+    spark: SparkSession,
+    df: DataFrame,
+    store: "StateStore",
+    before_seq: int | None = None,
+) -> DataFrame | None:
+    """Schema EVOLUTION check: today's table vs the schema the previous
+    run recorded in the state log — added / removed / retyped columns
+    surface as extra / missing / type_mismatch rows.
+
+    schema_conformance validates against a DECLARED contract; this
+    validates against HISTORY (the silent-upstream-migration detector:
+    nobody re-declares the contract when a producer adds a column).
+    Pure reuse — the recorded snapshot becomes schema_conformance's
+    expected side. Returns None when no prior schema is recorded (first
+    run: nothing to drift from).
+    """
+    from matric_spark.checks.schema_check import schema_conformance
+
+    prev = store.last_schema(before_seq=before_seq)
+    if prev is None:
+        return None
+    return schema_conformance(spark, df, prev)
+
 
 def run_incremental(
     spark: SparkSession,

@@ -258,3 +258,32 @@ def test_exact_k_per_stratum(spark):
         .collect()
     }
     assert en_before == en_after
+
+
+def test_quarantine_split(tiny_transcripts):
+    from matric_spark.checks.quarantine import quarantine, quarantine_summary
+
+    clean, bad = quarantine(tiny_transcripts)
+    # partition: every input row lands on exactly one side
+    assert clean.count() + bad.count() == tiny_transcripts.count()
+    assert clean.columns == tiny_transcripts.columns
+    reasons = {(r.conv_id, r.turn_idx): r.reasons for r in bad.collect()}
+    # moderator at C0: bad domain + first-turn rule
+    assert reasons[("C", 0)] == "bad_role,rule"
+    # telnet at C2: bad tool domain + tool-role rule
+    assert reasons[("C", 2)] == "bad_tool,rule"
+    # both (B,1) copies held as duplicate-key members
+    assert reasons[("B", 1)] == "dup_key"
+    # B2 went backwards in time
+    assert "ooo" in reasons[("B", 2)]
+    # B3: null text on user turn (rule); B0: user at turn 0 (rule)
+    assert reasons[("B", 3)] == "rule" and reasons[("B", 0)] == "rule"
+    # conv A is fully clean
+    assert not any(c == "A" for c, _ in reasons)
+
+    summ = {r.part: r for r in quarantine_summary(tiny_transcripts).collect()}
+    assert summ[1].n_rows == 8 and summ[1].n_clean == 3  # all of A
+    assert summ[1].n_dup_key == 2 and summ[1].n_ooo == 1
+    assert summ[2].n_quarantined == 2 and summ[2].n_clean == 0
+    for p in (1, 2):
+        assert summ[p].n_quarantined + summ[p].n_clean == summ[p].n_rows

@@ -140,3 +140,36 @@ def test_resume_on_iceberg(spark, tiny_transcripts, tmp_path, cfg):
 def test_state_store_rejects_unknown_catalog(spark, tmp_path):
     with pytest.raises(ValueError):
         StateStore(spark, str(tmp_path), catalog="delta")
+
+
+def test_schema_evolution_vs_recorded(spark, tmp_path):
+    """Schema drift vs the PREVIOUS run's recorded snapshot: added,
+    removed, and retyped columns all surface; latest snapshot wins."""
+    from matric_spark.state import StateStore, schema_drift_vs_recorded
+
+    store = StateStore(spark, str(tmp_path / "state"))
+    assert store.last_schema() is None
+    assert schema_drift_vs_recorded(spark, None, store) is None  # first run
+
+    v1 = spark.createDataFrame([("a", 1, 1.0)], "conv_id string, turn_idx int, score double")
+    store.record_schema(v1, "fp1", seq=1)
+
+    # run 2: score retyped to string, turn_idx dropped, tool added
+    v2 = spark.createDataFrame([("a", "1.0", "bash")], "conv_id string, score string, tool string")
+    drift = {r.col: r.status for r in
+             schema_drift_vs_recorded(spark, v2, store).collect()}
+    assert drift == {
+        "conv_id": "ok",
+        "score": "type_mismatch",
+        "turn_idx": "missing",
+        "tool": "extra",
+    }
+
+    # record v2 as the new snapshot: latest wins, drift-vs-self is clean
+    store.record_schema(v2, "fp2", seq=2)
+    clean = schema_drift_vs_recorded(spark, v2, store)
+    assert all(r.status == "ok" for r in clean.collect())
+    # and the v1 snapshot is still addressable for audits (before_seq)
+    old = {r.col: r.status for r in
+           schema_drift_vs_recorded(spark, v2, store, before_seq=2).collect()}
+    assert old["turn_idx"] == "missing"
