@@ -806,6 +806,24 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["metric"])
 
 
+def q_incremental_verdicts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable EXTENDED suite vs the SAME oracle as verdicts_extended:
+    crash after half the partitions, resume, and the assembled table —
+    rule pack + FD from per-partition state, volume from the completion
+    log — must equal the one-shot batch emission exactly."""
+    import tempfile
+
+    from matric_spark.state import run_incremental
+
+    t = transcript_df(spark, sf_dir)
+    sd = tempfile.mkdtemp(prefix="graft_state_ext_")
+    run_incremental(
+        spark, t, sd, "run1", "fp", fail_after_partitions=40, extended=True
+    )
+    out = run_incremental(spark, t, sd, "run2", "fp", extended=True)
+    return _round6(out, ["metric"])
+
+
 def q_text_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule per-row invariant: per-turn text equality under the
     stable (conv_id, turn_idx) window ordering. Self-comparison of the
@@ -1514,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdicts_extended": q_verdicts_extended,
         "doc_sample_topk": q_doc_sample_topk,
         "quarantine_summary": q_quarantine_summary,
+        "incremental_verdicts_extended": q_incremental_verdicts_extended,
         "fd_violations": q_fd_violations,
         "rule_violations": q_rule_violations,
         "boilerplate_turns": q_boilerplate_turns,
@@ -2083,6 +2102,7 @@ FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
 
     # the resumed incremental run must equal the one-shot batch suite
     sql["incremental_verdicts"] = sql["verdicts"]
+    sql["incremental_verdicts_extended"] = sql["verdicts_extended"]
 
     sql["events_stats"] = """
 SELECT event_type,

@@ -205,15 +205,29 @@ def partition_volume(
     PARTITION — thousands of rows at 100 TB, not billions, so the
     single-task window is free and exactly as parallel as it needs to be.
     """
+    agg = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    out = volume_profile(agg, partition_col)
+    if max_abs_delta is not None:
+        out = out.filter(
+            (F.abs(F.col("delta_pct")) > max_abs_delta)
+            | (F.col("gap_months") > 0)
+        )
+    return out
+
+
+def volume_profile(counts: DataFrame, partition_col: str) -> DataFrame:
+    """The lag/gap/delta stage of partition_volume over a precomputed
+    (partition, n_rows) table — split out so the resumable suite can
+    derive the volume check from the state log's per-partition counts
+    without re-scanning data (state.assemble_verdicts_extended)."""
     from pyspark.sql import Window
 
-    agg = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
     idx = (
         F.floor(F.col(partition_col) / 100) * 12 + F.col(partition_col) % 100
     ).alias("_idx")
     w = Window.orderBy(partition_col)
-    out = (
-        agg.select(partition_col, "n_rows", idx)
+    return (
+        counts.select(partition_col, "n_rows", idx)
         .withColumn("prev_part", F.lag(partition_col).over(w))
         .withColumn("prev_n", F.lag("n_rows").over(w))
         .withColumn("gap_months", F.col("_idx") - F.lag("_idx").over(w) - 1)
@@ -228,9 +242,3 @@ def partition_volume(
         )
         .drop("_idx")
     )
-    if max_abs_delta is not None:
-        out = out.filter(
-            (F.abs(F.col("delta_pct")) > max_abs_delta)
-            | (F.col("gap_months") > 0)
-        )
-    return out

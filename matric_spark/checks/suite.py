@@ -159,36 +159,57 @@ def run_verdicts_extended(
 
     core = run_verdicts(df, cfg)
 
-    # rule pack: one conditional-aggregation pass
+    vol = partition_volume(df, p).select(
+        F.col(p).alias("part"), "delta_pct", "gap_months"
+    )
+    wide = extended_partition_metrics(df, cfg, rules, fd_dependents).join(
+        vol, "part", "left"
+    )
+    return core.unionByName(_extended_rows(wide, rules, volume_abs_delta))
+
+
+def extended_partition_metrics(
+    df: DataFrame,
+    cfg: SuiteConfig,
+    rules,
+    fd_dependents: list[str],
+) -> DataFrame:
+    """PARTITION-LOCAL extended metrics (part, rule_<name>...,
+    fd_conflict) — rule counts ride one conditional-aggregation pass;
+    FD reuses constraints.fd_violations with the partition key prepended
+    to the determinant (one definition of the hash-before-shuffle +
+    null-key conventions; the partition key is never null so its extra
+    non-null filter is a no-op). Partition-local by construction, which
+    is what makes the extended families RESUMABLE: the incremental path
+    (state.run_incremental extended=True) appends exactly this table per
+    completed partition."""
+    from matric_spark.checks.constraints import fd_violations
+
+    p = cfg.partition_col
     rule_agg = df.groupBy(F.col(p).alias("part")).agg(
         *[
             F.sum(r.violated().cast("long")).alias(f"rule_{r.name}")
             for r in rules
         ]
     )
-
-    # intra-partition FD conflicts: REUSE constraints.fd_violations with
-    # the partition key prepended to the determinant (one definition of
-    # the hash-before-shuffle + null-key conventions; p is never null so
-    # its extra non-null filter is a no-op)
-    from matric_spark.checks.constraints import fd_violations
-
     fd = (
         fd_violations(df, [p, *cfg.key], fd_dependents)
         .groupBy(F.col(p).alias("part"))
         .agg(F.count(F.lit(1)).alias("fd_conflict"))
     )
-
-    vol = partition_volume(df, p).select(
-        F.col(p).alias("part"), "delta_pct", "gap_months"
+    return rule_agg.join(fd, "part", "left").fillna(
+        0, subset=["fd_conflict"]
     )
 
-    wide = (
-        rule_agg.join(fd, "part", "left")
-        .join(vol, "part", "left")
-        .fillna(0, subset=["fd_conflict"])
-    )
 
+def _extended_rows(
+    wide: DataFrame, rules, volume_abs_delta: float
+) -> DataFrame:
+    """Unpivot the extended families' wide metrics (part, rule_<name>...,
+    fd_conflict, delta_pct, gap_months) into verdict rows — SHARED by
+    the batch path (run_verdicts_extended) and the resumable path
+    (state.assemble_verdicts_extended) so the two emissions can never
+    diverge in check ids, thresholds, or status logic."""
     structs: dict[str, Column] = {}
     for r in rules:
         c = F.col(f"rule_{r.name}")
@@ -213,7 +234,7 @@ def run_verdicts_extended(
         .alias("s"),
     )
     packed = wide.select("part", *[c.alias(n) for n, c in structs.items()])
-    extra = packed.unpivot(
+    return packed.unpivot(
         ids=["part"],
         values=list(structs),
         variableColumnName="check_id",
@@ -224,7 +245,6 @@ def run_verdicts_extended(
         F.col("ms.m").alias("metric"),
         F.col("ms.s").alias("status"),
     )
-    return core.unionByName(extra)
 
 
 def run_violations(df: DataFrame, cfg: SuiteConfig | None = None) -> dict[str, DataFrame]:

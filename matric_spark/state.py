@@ -243,6 +243,7 @@ def run_incremental(
     cfg: SuiteConfig | None = None,
     fail_after_partitions: int | None = None,
     catalog: str | None = None,
+    extended: bool = False,
 ) -> DataFrame:
     """Validate partitions not yet completed for `fingerprint`, append
     their state, and return the full verdict table (identical to
@@ -251,7 +252,13 @@ def run_incremental(
     `fail_after_partitions=k` simulates a mid-job crash: only the first
     k remaining partitions are processed before 'dying'. `catalog`
     selects the state backend (None = parquet, 'iceberg' = Iceberg state
-    tables; defaults to SPARK_GRAFT_CATALOG).
+    tables; defaults to SPARK_GRAFT_CATALOG). `extended=True` also
+    checkpoints the declarative families (rule pack, intra-partition FD
+    conflicts) per partition — they are partition-local, so they resume
+    exactly like the scalar metrics — and assembles the extended verdict
+    table (≡ run_verdicts_extended once complete); the volume check is
+    derived at assemble time from the completion log's per-partition row
+    counts, no extra scan.
     """
     cfg = cfg or SuiteConfig()
     p = cfg.partition_col
@@ -313,6 +320,19 @@ def run_incremental(
         )
         store._append(log, "log", fingerprint)
 
+        if extended:
+            from matric_spark.checks.constraints import (
+                default_transcript_rules,
+            )
+            from matric_spark.checks.suite import extended_partition_metrics
+
+            ext = extended_partition_metrics(
+                remaining, cfg, default_transcript_rules(), ["text", "role"]
+            ).withColumn("run_id", F.lit(run_id))
+            store._append(ext, "local_ext", fingerprint)
+
+    if extended:
+        return assemble_verdicts_extended(spark, store, fingerprint, cfg)
     return assemble_verdicts(spark, store, fingerprint, cfg)
 
 
@@ -384,4 +404,46 @@ def assemble_verdicts(
         "check_id",
         F.col("ms.m").alias("metric"),
         F.col("ms.s").alias("status"),
+    )
+
+
+def assemble_verdicts_extended(
+    spark: SparkSession,
+    store: StateStore,
+    fingerprint: str,
+    cfg: SuiteConfig,
+    volume_abs_delta: float = 0.5,
+) -> DataFrame:
+    """Extended verdict table from state only — the resumable emission of
+    checks/suite.run_verdicts_extended.
+
+    Rule/FD metrics come from the per-partition `local_ext` appends
+    (whole-partition replays deduped on part, like `local`); the volume
+    check derives from the completion log's per-partition row counts via
+    the SAME volume_profile stage the batch operator uses, and the
+    verdict rows are built by the SAME _extended_rows unpivot — so the
+    batch and resumed emissions cannot diverge.
+    """
+    from matric_spark.checks.column_stats import volume_profile
+    from matric_spark.checks.constraints import default_transcript_rules
+    from matric_spark.checks.suite import _extended_rows
+
+    core = assemble_verdicts(spark, store, fingerprint, cfg)
+
+    ext = store._for("local_ext", fingerprint)
+    assert ext is not None, "extended state missing for fingerprint"
+    ext = ext.dropDuplicates(["part"]).drop("run_id")
+
+    log = (
+        store._for("log", fingerprint, _LOG_SCHEMA)
+        .dropDuplicates(["part"])
+        .select("part", "n_rows")
+    )
+    vol = volume_profile(log, "part").select(
+        "part", "delta_pct", "gap_months"
+    )
+
+    wide = ext.join(vol, "part", "left")
+    return core.unionByName(
+        _extended_rows(wide, default_transcript_rules(), volume_abs_delta)
     )

@@ -173,3 +173,31 @@ def test_schema_evolution_vs_recorded(spark, tmp_path):
     old = {r.col: r.status for r in
            schema_drift_vs_recorded(spark, v2, store, before_seq=2).collect()}
     assert old["turn_idx"] == "missing"
+
+
+def test_extended_crash_resume_equals_batch(spark, tiny_transcripts, tmp_path):
+    """Extended suite through the state store: crash after the first
+    partition, resume, and the assembled table must equal the one-shot
+    run_verdicts_extended emission exactly (rule/FD from per-partition
+    state, volume from the completion log)."""
+    from matric_spark.checks.suite import SuiteConfig, run_verdicts_extended
+    from matric_spark.state import run_incremental
+
+    sd = str(tmp_path / "state_ext")
+    run_incremental(
+        spark, tiny_transcripts, sd, "r1", "fp",
+        fail_after_partitions=1, extended=True,
+    )
+    resumed = run_incremental(
+        spark, tiny_transcripts, sd, "r2", "fp", extended=True
+    )
+    batch = run_verdicts_extended(tiny_transcripts, SuiteConfig())
+
+    def rows(df):
+        return sorted(
+            (r.part, r.check_id,
+             None if r.metric is None else round(r.metric, 9), r.status)
+            for r in df.collect()
+        )
+
+    assert rows(resumed) == rows(batch)
