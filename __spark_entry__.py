@@ -1066,6 +1066,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the text dup clusters: n_clusters /
+    n_docs / n_removable per size — the pre-deletion savings report."""
+    from matric_spark.operators.dedup import ngram_jaccard_pairs
+    from matric_spark.operators.graph import cluster_size_stats, dedup_clusters
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), 0.1)
+    return cluster_size_stats(dedup_clusters(pairs))
+
+
 def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters in EMBEDDING space: transitive closure of the
     exact cosine near-dup pairs (the similarity-space twin of
@@ -1507,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_verdicts": q_conv_verdicts,
         "doc_lm_score": q_doc_lm_score,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_stats": q_cluster_stats,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "decontaminate": q_decontaminate,
         "cluster_canonical": q_cluster_canonical,
@@ -2160,6 +2171,16 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
     sql["dedup_clusters"] = dk.dedup_clusters_sql(0.1)
     sql["emb_dedup_clusters"] = dk.emb_dedup_clusters_sql(0.4)
+    # histogram over the SAME cluster relation (nested WITH in a
+    # parenthesized subquery is fine in DuckDB)
+    sql["cluster_stats"] = f"""
+SELECT cluster_size,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(DISTINCT cluster_id) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(DISTINCT cluster_id) AS BIGINT)
+         AS n_removable
+FROM ({dk.dedup_clusters_sql(0.1)}) base
+GROUP BY cluster_size"""
     sql["decontaminate"] = dk.contamination_sql("doc_id % 97 = 0", n=3, min_overlap=2)
     sql["cluster_canonical"] = dk.cluster_canonical_sql(0.1)
     sql["pack_chunks"] = dk.pack_chunks_sql(512, "lang")

@@ -66,13 +66,34 @@ _REASONS = ["bad_role", "bad_tool", "rule", "dup_key", "ooo"]
 
 
 def quarantine(
-    df: DataFrame, cfg: SuiteConfig | None = None, rules=None
+    df: DataFrame,
+    cfg: SuiteConfig | None = None,
+    rules=None,
+    granularity: str = "row",
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined): quarantined rows carry a `reasons` string
     (comma-joined, deterministic order); clean rows are schema-identical
-    to the input."""
+    to the input.
+
+    granularity='conversation' holds EVERY turn of a conversation any of
+    whose turns trips a check — the usual training-time policy (a
+    conversation with one corrupt turn is not a valid training example;
+    reasons then reflect the whole conversation's union). One extra
+    window over conv_id, already the table's natural clustering.
+    """
+    if granularity not in ("row", "conversation"):
+        raise ValueError(f"unknown granularity {granularity!r}")
     cfg = cfg or SuiteConfig()
     flagged = _flags(df, cfg, rules)
+    if granularity == "conversation":
+        wconv = Window.partitionBy("conv_id")
+        flagged = flagged.select(
+            *[c for c in flagged.columns if not c.startswith("_q_")],
+            *[
+                F.max(F.col(f"_q_{r}")).over(wconv).alias(f"_q_{r}")
+                for r in _REASONS
+            ],
+        )
     any_bad = None
     for r in _REASONS:
         c = F.col(f"_q_{r}")

@@ -175,3 +175,23 @@ def dedup_clusters(
         .join(sizes, "cluster_id")
         .select("doc_id", "cluster_id", "cluster_size")
     )
+
+
+def cluster_size_stats(clusters: DataFrame) -> DataFrame:
+    """Cluster-size histogram over dedup_clusters output — the report a
+    storage owner reads BEFORE deleting: how many dup groups of each
+    size exist, how many docs they hold, and how many rows dedup would
+    remove (size − 1 per cluster, keeping the canonical).
+
+    Input is (doc_id, cluster_id, cluster_size); the histogram is two
+    small aggregates over the cluster list (distinct (cluster, size),
+    then a groupBy(size) — both tiny relative to the corpus).
+    """
+    sizes = clusters.select("cluster_id", "cluster_size").distinct()
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias(
+            "n_removable"
+        ),
+    )

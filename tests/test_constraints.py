@@ -287,3 +287,37 @@ def test_quarantine_split(tiny_transcripts):
     assert summ[2].n_quarantined == 2 and summ[2].n_clean == 0
     for p in (1, 2):
         assert summ[p].n_quarantined + summ[p].n_clean == summ[p].n_rows
+
+
+def test_quarantine_conversation_granularity(tiny_transcripts):
+    from matric_spark.checks.quarantine import quarantine
+
+    clean, bad = quarantine(tiny_transcripts, granularity="conversation")
+    # B and C each contain at least one bad turn -> every turn held;
+    # A is fully clean and survives intact
+    assert {r.conv_id for r in clean.collect()} == {"A"}
+    held = bad.collect()
+    assert {r.conv_id for r in held} == {"B", "C"}
+    # every held turn of a conversation carries the conversation's
+    # reason union
+    b_reasons = {r.reasons for r in held if r.conv_id == "B"}
+    assert b_reasons == {"rule,dup_key,ooo"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        quarantine(tiny_transcripts, granularity="file")
+
+
+def test_cluster_size_stats(spark):
+    from matric_spark.operators.graph import cluster_size_stats
+
+    # clusters: {1,2,3} size 3, {10,11} size 2, {20,21} size 2
+    rows = [
+        (1, 1, 3), (2, 1, 3), (3, 1, 3),
+        (10, 10, 2), (11, 10, 2),
+        (20, 20, 2), (21, 20, 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long, cluster_size long")
+    out = {r.cluster_size: r for r in cluster_size_stats(df).collect()}
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3 and out[3].n_removable == 2
+    assert out[2].n_clusters == 2 and out[2].n_docs == 4 and out[2].n_removable == 2
