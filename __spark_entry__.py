@@ -1965,6 +1965,8 @@ x AS (SELECT part_month, conv_id, turn_idx, role, tool, text, ts,
 f AS (SELECT part_month,
         (role IS NULL OR role NOT IN ({_ROLES})) AS bad_role,
         (tool IS NOT NULL AND tool NOT IN ({_TOOLS})) AS bad_tool,
+        (text IS NULL) AS null_text,
+        (ts IS NULL) AS null_ts,
         coalesce((tool IS NOT NULL AND NOT coalesce(role = 'tool', false))
                  OR (turn_idx = 0 AND NOT coalesce(role = 'system', false))
                  OR (role IN ('user', 'assistant') AND text IS NULL),
@@ -1973,13 +1975,16 @@ f AS (SELECT part_month,
         coalesce(ts < prev_max, false) AS ooo
       FROM x)
 SELECT part_month AS part, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CASE WHEN bad_role OR bad_tool OR rule OR dup_key OR ooo
+       CAST(sum(CASE WHEN bad_role OR bad_tool OR null_text OR null_ts
+                       OR rule OR dup_key OR ooo
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
-       CAST(sum(CASE WHEN NOT (bad_role OR bad_tool OR rule OR dup_key
-                               OR ooo)
+       CAST(sum(CASE WHEN NOT (bad_role OR bad_tool OR null_text
+                               OR null_ts OR rule OR dup_key OR ooo)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
        CAST(sum(CASE WHEN bad_role THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_role,
        CAST(sum(CASE WHEN bad_tool THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_tool,
+       CAST(sum(CASE WHEN null_text THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+       CAST(sum(CASE WHEN null_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts,
        CAST(sum(CASE WHEN rule THEN 1 ELSE 0 END) AS BIGINT) AS n_rule,
        CAST(sum(CASE WHEN dup_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_key,
        CAST(sum(CASE WHEN ooo THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo

@@ -8,17 +8,23 @@ a quarantine table carrying why each row was held (matric's construct-
 validate split keeps invalid rows out of the SimFrame the same way,
 R/sim_construct-validate.R:69-78; here the routing is row-granular).
 
-Only row-attributable checks quarantine: domain membership, the
-cross-field rule pack, duplicate-key membership, out-of-order
-timestamps. Partition-level signals (drift, volume) can't name a row and
-never should — a drifted cohort is re-weighted or investigated, not
-row-dropped.
+Every row-attributable check from the verdict suite quarantines: domain
+membership, null text / null ts, the cross-field rule pack, duplicate-
+key membership, out-of-order timestamps — so a partition made only of
+quarantine-clean rows also passes every row-level verdict. Partition-
+level signals (drift, volume) can't name a row and never should — a
+drifted cohort is re-weighted or investigated, not row-dropped.
 
-Scale shape: ONE scan + two windows (the composite key for duplicate
-membership, the conversation for ordering) — both keyed by columns a
-transcript table is naturally clustered on, and every flag thereafter is
-a codegen expression. No joins: duplicate membership uses the same
-join-free window formulation as checks/uniqueness.duplicate_row_counts.
+Scale shape: ALL row-local flags (including everything that reads the
+~10×-bytes text column) are computed BEFORE the windows, and the summary
+path projects to (partition, key, ts, flags) first — so neither window
+exchange ever carries text (plan-pinned). The two windows (composite key
+for duplicate membership, conversation for ordering — the ordering
+window is sequence.preceding_max_ts_window, shared with
+out_of_order_turns) are keyed by columns a transcript table is naturally
+clustered on. The full-row quarantine() routing necessarily ships whole
+rows — its output IS the data — but its flags are likewise pre-computed,
+so the windows add no text re-reads.
 """
 
 from __future__ import annotations
@@ -26,18 +32,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from matric_spark.checks.sequence import preceding_max_ts_window
 from matric_spark.checks.suite import SuiteConfig
 
+#: reason order fixes the `reasons` string; mirrors the oracle SQL
+_REASONS = [
+    "bad_role",
+    "bad_tool",
+    "null_text",
+    "null_ts",
+    "rule",
+    "dup_key",
+    "ooo",
+]
 
-def _flags(df: DataFrame, cfg: SuiteConfig, rules) -> DataFrame:
+
+def _flags(
+    df: DataFrame,
+    cfg: SuiteConfig,
+    rules,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Attach _q_<reason> booleans. ``carry=None`` keeps every input
+    column (the routing path); a column list projects BEFORE the windows
+    (the summary path — text never reaches an exchange)."""
     from matric_spark.checks.constraints import default_transcript_rules
 
     rules = rules if rules is not None else default_transcript_rules()
     key = cfg.key
-    wk = Window.partitionBy(*key)
-    wc = Window.partitionBy("conv_id").orderBy(
-        F.asc_nulls_first("turn_idx"), F.asc_nulls_first("ts")
-    )
+
     non_null_key = None
     for k in key:
         c = F.col(k).isNotNull()
@@ -48,21 +71,36 @@ def _flags(df: DataFrame, cfg: SuiteConfig, rules) -> DataFrame:
     rule_any: Column = F.lit(False)
     for r in rules:
         rule_any = rule_any | r.violated()
-    dup_key = non_null_key & (F.count(F.lit(1)).over(wk) > 1)
-    prev_max = F.max("ts").over(wc.rowsBetween(Window.unboundedPreceding, -1))
-    ooo = F.col("ts") < prev_max
 
-    return df.select(
-        "*",
+    # row-local flags first — the only consumers of text/tool/role
+    base_cols = list(df.columns) if carry is None else list(carry)
+    rowlocal = df.select(
+        *base_cols,
         bad_role.alias("_q_bad_role"),
         bad_tool.alias("_q_bad_tool"),
+        F.col("text").isNull().alias("_q_null_text"),
+        F.col("ts").isNull().alias("_q_null_ts"),
         F.coalesce(rule_any, F.lit(False)).alias("_q_rule"),
-        F.coalesce(dup_key, F.lit(False)).alias("_q_dup_key"),
-        F.coalesce(ooo, F.lit(False)).alias("_q_ooo"),
+        non_null_key.alias("_nnk"),
     )
 
+    wk = Window.partitionBy(*key)
+    dup_key = F.col("_nnk") & (F.count(F.lit(1)).over(wk) > 1)
+    prev_max = F.max("ts").over(preceding_max_ts_window())
+    ooo = F.col("ts") < prev_max
+    return rowlocal.select(
+        "*",
+        F.coalesce(dup_key, F.lit(False)).alias("_q_dup_key"),
+        F.coalesce(ooo, F.lit(False)).alias("_q_ooo"),
+    ).drop("_nnk")
 
-_REASONS = ["bad_role", "bad_tool", "rule", "dup_key", "ooo"]
+
+def _any_bad() -> Column:
+    cond = None
+    for r in _REASONS:
+        c = F.col(f"_q_{r}")
+        cond = c if cond is None else (cond | c)
+    return cond
 
 
 def quarantine(
@@ -94,10 +132,7 @@ def quarantine(
                 for r in _REASONS
             ],
         )
-    any_bad = None
-    for r in _REASONS:
-        c = F.col(f"_q_{r}")
-        any_bad = c if any_bad is None else (any_bad | c)
+    any_bad = _any_bad()
     reasons = F.concat_ws(
         ",", *[F.when(F.col(f"_q_{r}"), F.lit(r)) for r in _REASONS]
     )
@@ -115,13 +150,12 @@ def quarantine_summary(
 ) -> DataFrame:
     """Per-partition routing report: (part, n_rows, n_quarantined,
     n_clean, n_<reason>...). Multi-reason rows count once in
-    n_quarantined and once per reason column."""
+    n_quarantined and once per reason column. Projects to
+    (partition, key, ts) before the windows — text never shuffles."""
     cfg = cfg or SuiteConfig()
-    flagged = _flags(df, cfg, rules)
-    any_bad = None
-    for r in _REASONS:
-        c = F.col(f"_q_{r}")
-        any_bad = c if any_bad is None else (any_bad | c)
+    carry = list(dict.fromkeys([cfg.partition_col, *cfg.key, "conv_id", "ts"]))
+    flagged = _flags(df, cfg, rules, carry=carry)
+    any_bad = _any_bad()
     return flagged.groupBy(
         F.col(cfg.partition_col).alias("part")
     ).agg(

@@ -316,17 +316,25 @@ def conv_verdicts(
     ).withColumn("ok", F.col("reasons") == "")
 
 
-def out_of_order_turns(df: DataFrame) -> DataFrame:
-    """Rows whose ts is strictly below the max ts of any earlier turn
-    (ordered by (turn_idx, ts) — the ts tie-break makes the preceding-max
-    deterministic even under duplicate turn_idx)."""
-    w = (
+def preceding_max_ts_window():
+    """THE ordering window for out-of-order detection — one definition
+    shared by out_of_order_turns and the quarantine router so the ooo
+    reason and the seq_order verdict can never drift: per conversation,
+    ordered by (turn_idx, ts) (the ts tie-break makes the preceding-max
+    deterministic even under duplicate turn_idx), frame = all earlier
+    rows."""
+    return (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx", "ts")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+
+
+def out_of_order_turns(df: DataFrame) -> DataFrame:
+    """Rows whose ts is strictly below the max ts of any earlier turn
+    (see preceding_max_ts_window)."""
     return (
-        df.withColumn("_prev_max_ts", F.max("ts").over(w))
+        df.withColumn("_prev_max_ts", F.max("ts").over(preceding_max_ts_window()))
         .filter(F.col("ts") < F.col("_prev_max_ts"))
         .drop("_prev_max_ts")
     )

@@ -196,7 +196,17 @@ class StateStore:
 
     def last_schema(self, before_seq: int | None = None) -> list[tuple[str, str]] | None:
         """The most recent recorded schema (optionally strictly before
-        ``before_seq``), as [(col, dtype)] — None if never recorded."""
+        ``before_seq``), as [(col, dtype)] — None if never recorded.
+
+        Reads across fingerprints ON PURPOSE: schema history spans input
+        versions (yesterday's run had a different snapshot id — that is
+        exactly the schema you want to drift against). Like every other
+        relation in this store, the schema log therefore assumes ONE
+        logical table per state_dir. Crash-replayed appends (same seq
+        re-recorded) dedup on (col, dtype); the same (seq, col) recorded
+        with CONFLICTING dtypes means two tables were pointed at one
+        state_dir and raises rather than silently unioning their columns.
+        """
         log = self._read("schema_log", "seq int, col string, dtype string, fingerprint string")
         if log is None:
             return None
@@ -206,7 +216,19 @@ class StateStore:
         if not rows:
             return None
         top = max(r.seq for r in rows)
-        return [(r.col, r.dtype) for r in rows if r.seq == top]
+        snap: dict[str, str] = {}
+        for r in rows:
+            if r.seq != top:
+                continue
+            if r.col in snap and snap[r.col] != r.dtype:
+                raise ValueError(
+                    f"schema log seq {top} records column {r.col!r} with "
+                    f"conflicting dtypes ({snap[r.col]!r} vs {r.dtype!r}): "
+                    "a state_dir serves ONE logical table — use separate "
+                    "state dirs per table."
+                )
+            snap[r.col] = r.dtype
+        return list(snap.items())
 
 
 def schema_drift_vs_recorded(
@@ -313,14 +335,12 @@ def run_incremental(
         )
         store._append(sketch, "sketch", fingerprint)
 
-        log = (
-            remaining.groupBy(F.col(p).alias("part"))
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .select("part", F.lit(run_id).alias("run_id"), "n_rows")
-        )
-        store._append(log, "log", fingerprint)
-
         if extended:
+            # BEFORE the log append: the resume contract is "complete iff
+            # a log row exists", so every state relation must be durable
+            # before the partition is marked complete — a crash in the
+            # gap would otherwise prune the partition from all future
+            # scans while its extended state is missing forever
             from matric_spark.checks.constraints import (
                 default_transcript_rules,
             )
@@ -330,6 +350,14 @@ def run_incremental(
                 remaining, cfg, default_transcript_rules(), ["text", "role"]
             ).withColumn("run_id", F.lit(run_id))
             store._append(ext, "local_ext", fingerprint)
+
+        # the log append comes LAST: it is the commit point
+        log = (
+            remaining.groupBy(F.col(p).alias("part"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select("part", F.lit(run_id).alias("run_id"), "n_rows")
+        )
+        store._append(log, "log", fingerprint)
 
     if extended:
         return assemble_verdicts_extended(spark, store, fingerprint, cfg)
@@ -431,8 +459,28 @@ def assemble_verdicts_extended(
     core = assemble_verdicts(spark, store, fingerprint, cfg)
 
     ext = store._for("local_ext", fingerprint)
-    assert ext is not None, "extended state missing for fingerprint"
+    if ext is None:
+        raise ValueError(
+            "no extended state for this fingerprint: its partitions were "
+            "completed by non-extended runs, and the completion log bars "
+            "them from re-scanning. Re-validate under a fresh state_dir "
+            "or fingerprint with extended=True."
+        )
     ext = ext.dropDuplicates(["part"]).drop("run_id")
+
+    # every completed partition must have extended state (a fingerprint
+    # partly completed by non-extended runs would otherwise silently
+    # lose its rule/FD/volume verdict rows while keeping core rows)
+    local_parts = {r.part for r in core.select("part").distinct().collect()}
+    ext_parts = {r.part for r in ext.select("part").collect()}
+    missing = sorted(local_parts - ext_parts)
+    if missing:
+        raise ValueError(
+            f"extended state missing for completed partitions {missing}: "
+            "mixed extended/non-extended runs under one fingerprint are "
+            "not assemblable. Re-validate under a fresh state_dir or "
+            "fingerprint with extended=True throughout."
+        )
 
     log = (
         store._for("log", fingerprint, _LOG_SCHEMA)

@@ -276,14 +276,15 @@ def test_quarantine_split(tiny_transcripts):
     assert reasons[("B", 1)] == "dup_key"
     # B2 went backwards in time
     assert "ooo" in reasons[("B", 2)]
-    # B3: null text on user turn (rule); B0: user at turn 0 (rule)
-    assert reasons[("B", 3)] == "rule" and reasons[("B", 0)] == "rule"
+    # B3: null text on user turn (null_text + rule); B0: user at turn 0
+    assert reasons[("B", 3)] == "null_text,rule" and reasons[("B", 0)] == "rule"
     # conv A is fully clean
     assert not any(c == "A" for c, _ in reasons)
 
     summ = {r.part: r for r in quarantine_summary(tiny_transcripts).collect()}
     assert summ[1].n_rows == 8 and summ[1].n_clean == 3  # all of A
     assert summ[1].n_dup_key == 2 and summ[1].n_ooo == 1
+    assert summ[1].n_null_text == 1 and summ[1].n_null_ts == 0
     assert summ[2].n_quarantined == 2 and summ[2].n_clean == 0
     for p in (1, 2):
         assert summ[p].n_quarantined + summ[p].n_clean == summ[p].n_rows
@@ -301,7 +302,7 @@ def test_quarantine_conversation_granularity(tiny_transcripts):
     # every held turn of a conversation carries the conversation's
     # reason union
     b_reasons = {r.reasons for r in held if r.conv_id == "B"}
-    assert b_reasons == {"rule,dup_key,ooo"}
+    assert b_reasons == {"null_text,rule,dup_key,ooo"}
     import pytest
 
     with pytest.raises(ValueError):

@@ -458,3 +458,18 @@ def test_exact_k_window_is_single_shuffle_per_stratum(spark):
     # Catalyst inserts WindowGroupLimit: only <=k rows per stratum per
     # input partition cross the exchange — the scale guard for free
     assert "WindowGroupLimit" in p
+
+
+def test_quarantine_summary_shuffles_no_text(spark, transcripts_parquet):
+    """The summary path projects before its two windows: no exchange may
+    carry the raw text column (row-local flags are computed at the
+    scan)."""
+    import re
+
+    from matric_spark.checks.quarantine import quarantine_summary
+
+    t = spark.read.parquet(transcripts_parquet)
+    p = plan(quarantine_summary(t))
+    ins = _exchange_inputs(p)
+    assert ins, p
+    assert not any(re.search(r"\btext#\d+", i) for i in ins), ins
