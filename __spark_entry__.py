@@ -1313,6 +1313,19 @@ def q_doc_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored greedy funnel view→click→signup→purchase with a 1-day
+    step gap: per step, users reaching it (150→60→21→10 at sf0.01) —
+    the whole per-user state machine is one codegen F.aggregate over
+    sorted (epoch_us, type) structs, no UDF, no per-step join chain."""
+    from matric_spark.operators.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(
+        ev, ["view", "click", "signup", "purchase"], max_gap_s=86400
+    )
+
+
 def q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition quarantine routing report: how many rows each
     row-level check (domains, rule pack, duplicate keys, out-of-order
@@ -1510,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_drift": q_events_drift,
         "events_emd": q_events_emd,
+        "events_funnel": q_events_funnel,
         "role_transitions": q_role_transitions,
         "schema_conformance": q_schema_conformance,
         "conv_near_dup": q_conv_near_dup,
@@ -1949,6 +1963,30 @@ SELECT part, 'drift_ks', (round(ks_d, 6) + 0),
 UNION ALL
 SELECT part, 'drift_psi', (round(psi, 6) + 0),
        CASE WHEN psi > 0.25 THEN 'fail' ELSE 'pass' END FROM wide"""
+
+    # funnel oracle: chain of earliest-next-step joins ≡ the anchored
+    # greedy state machine (first eligible event = min eligible ts;
+    # strict > and the gap bound applied identically in exact μs)
+    _G = 86400 * 1_000_000
+    sql["events_funnel"] = f"""WITH
+e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+s1 AS (SELECT user_id, min(t) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t > s1.t AND e.t <= s1.t + {_G}
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'signup' AND e.t > s2.t AND e.t <= s2.t + {_G}
+       GROUP BY 1),
+s4 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t > s3.t AND e.t <= s3.t + {_G}
+       GROUP BY 1)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL SELECT 3, 'signup', CAST((SELECT count(*) FROM s3) AS BIGINT)
+UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT)"""
 
     # quarantine routing: one scan + two windows (key membership, conv
     # ordering); reason flags mirror checks/quarantine._flags exactly

@@ -247,3 +247,87 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum("value").alias("total_value"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_s: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Anchored greedy funnel: per user, match `steps` as a strict-time
+    subsequence — step k+1 must occur strictly after the matched step k
+    (and within ``max_gap_s`` seconds of it, if set); the FIRST eligible
+    event is taken and never re-anchored (the standard analytics-funnel
+    semantics, identical to a chain of earliest-next-step joins).
+    Returns one row per step: (step_idx, step, n_users reached).
+
+    Spark-first formulation: per-user event lists are small (a user's
+    own events), so the whole state machine runs as ONE codegen
+    F.aggregate over the array_sort-ed (epoch_us, type) structs — no
+    UDF, no per-step join chain (k joins → one shuffle), no driver loop.
+    The shuffle is groupBy(user) on pre-projected (user, epoch_us, type)
+    rows filtered to the funnel's event types; time is compared in exact
+    integer microseconds (unix_micros ≡ DuckDB epoch_us) so engine
+    parity is bitwise.
+    """
+    n = len(steps)
+    ev = events.filter(
+        F.col(type_col).isin(steps)
+        & F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        # NTZ → TZ cast is exact under the session's pinned-UTC tz, so
+        # unix_micros ≡ DuckDB epoch_us bit-for-bit
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_e"),
+        F.col(type_col).alias("_t"),
+    )
+    per = ev.groupBy("_u").agg(
+        F.array_sort(F.collect_list(F.struct("_e", "_t"))).alias("_seq")
+    )
+
+    def want_type(k: Column) -> Column:
+        expr = F.lit(steps[0])
+        for i in range(1, n):
+            expr = F.when(k == i, F.lit(steps[i])).otherwise(expr)
+        return expr
+
+    def advance(acc: Column, x: Column) -> Column:
+        type_ok = (acc["k"] < n) & (x["_t"] == want_type(acc["k"]))
+        time_ok = x["_e"] > acc["last"]
+        if max_gap_s is not None:
+            time_ok = time_ok & (
+                x["_e"] <= acc["last"] + F.lit(max_gap_s * 1_000_000)
+            )
+        adv = type_ok & F.when(acc["k"] == 0, F.lit(True)).otherwise(time_ok)
+        return F.struct(
+            F.when(adv, acc["k"] + 1).otherwise(acc["k"]).alias("k"),
+            F.when(adv, x["_e"]).otherwise(acc["last"]).alias("last"),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("k"), F.lit(None).cast("long").alias("last")
+    )
+    reached = per.select(
+        F.aggregate("_seq", init, advance)["k"].alias("_r")
+    )
+    counts = reached.agg(
+        *[
+            F.sum((F.col("_r") >= k).cast("long")).alias(f"_s{k}")
+            for k in range(1, n + 1)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("step_idx"),
+                F.lit(steps[k - 1]).alias("step"),
+                F.col(f"_s{k}").alias("n_users"),
+            )
+            for k in range(1, n + 1)
+        ]
+    )
+    return counts.select(F.explode(rows).alias("x")).select("x.*")

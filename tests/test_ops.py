@@ -631,3 +631,39 @@ def test_embedding_near_dup_against_ivf_planted_recall(spark):
         for r in embedding_near_dup_against_ivf(new, ref, **kwargs).collect()
     }
     assert again == ivf
+
+
+def test_funnel_anchored_greedy_semantics(spark):
+    import datetime as dt
+
+    from matric_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def e(uid, sec, typ):
+        return (uid, t0 + dt.timedelta(seconds=sec), typ)
+
+    rows = [
+        # u1: clean A->B within gap -> reaches 2
+        e(1, 0, "A"), e(1, 5, "B"),
+        # u2: B strictly BEFORE its A -> reaches 1 only
+        e(2, 5, "B"), e(2, 10, "A"),
+        # u3: B outside the 10s gap -> reaches 1 only
+        e(3, 0, "A"), e(3, 60, "B"),
+        # u4: anchored at FIRST A (t=0); its B at 8s counts even though a
+        # second A at 6s exists; never re-anchors
+        e(4, 0, "A"), e(4, 6, "A"), e(4, 8, "B"),
+        # u5: first A's window has no B; the later A would have matched
+        # but anchoring is greedy -> reaches 1 only
+        e(5, 0, "A"), e(5, 100, "A"), e(5, 105, "B"),
+        # u6: B at the SAME microsecond as A -> strict > rejects it
+        e(6, 0, "A"), e(6, 0, "B"),
+        # u7: no A at all -> reaches 0
+        e(7, 3, "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step_idx: r.n_users for r in funnel(df, ["A", "B"], max_gap_s=10).collect()}
+    assert out == {1: 6, 2: 2}  # u1..u6 reach A; only u1 and u4 reach B
+    # unbounded gap: u3 and u5 now convert too
+    out2 = {r.step_idx: r.n_users for r in funnel(df, ["A", "B"]).collect()}
+    assert out2 == {1: 6, 2: 4}

@@ -473,3 +473,23 @@ def test_quarantine_summary_shuffles_no_text(spark, transcripts_parquet):
     ins = _exchange_inputs(p)
     assert ins, p
     assert not any(re.search(r"\btext#\d+", i) for i in ins), ins
+
+
+def test_funnel_single_user_shuffle_no_join(spark):
+    """The funnel is ONE groupBy(user) shuffle of projected (user,
+    epoch, type) rows + a codegen array state machine — no join chain,
+    no per-step exchange."""
+    import datetime as dt
+    import re
+
+    from matric_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i % 7, t0 + dt.timedelta(seconds=i), "AB"[i % 2]) for i in range(60)],
+        "user_id long, ts timestamp, event_type string",
+    )
+    p = plan(funnel(df, ["A", "B"], max_gap_s=10))
+    assert "Join" not in p
+    # exchanges: the groupBy(user) + the final single-row aggregate
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", p)) <= 2
