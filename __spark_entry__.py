@@ -1326,6 +1326,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the event stream: users bucketed by
+    first-activity week, counted per (cohort, weeks-since) — the funnel's
+    longitudinal companion."""
+    from matric_spark.operators.events import retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention(ev, period_s=7 * 86400)
+
+
 def q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition quarantine routing report: how many rows each
     row-level check (domains, rule pack, duplicate keys, out-of-order
@@ -1524,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift": q_events_drift,
         "events_emd": q_events_emd,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "role_transitions": q_role_transitions,
         "schema_conformance": q_schema_conformance,
         "conv_near_dup": q_conv_near_dup,
@@ -1987,6 +1998,22 @@ SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
 UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
 UNION ALL SELECT 3, 'signup', CAST((SELECT count(*) FROM s3) AS BIGINT)
 UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT)"""
+
+    # retention: identical double division + floor on both engines
+    # (epoch_us and the period are exact integers below 2^53)
+    _PU = 7 * 86400 * 1_000_000
+    sql["events_retention"] = f"""WITH
+e AS (SELECT DISTINCT user_id AS u,
+             CAST(floor(epoch_us(ts) / {_PU}) AS BIGINT) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+f AS (SELECT u, min(p) AS cohort FROM e GROUP BY 1),
+per AS (SELECT f.cohort, e.p - f.cohort AS "offset",
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM e JOIN f USING (u) GROUP BY 1, 2),
+sz AS (SELECT cohort, n_users AS size FROM per WHERE "offset" = 0)
+SELECT per.cohort, per."offset", per.n_users,
+       (round(per.n_users / CAST(sz.size AS DOUBLE), 6) + 0) AS retention
+FROM per JOIN sz USING (cohort)"""
 
     # quarantine routing: one scan + two windows (key membership, conv
     # ordering); reason flags mirror checks/quarantine._flags exactly

@@ -331,3 +331,54 @@ def funnel(
         ]
     )
     return counts.select(F.explode(rows).alias("x")).select("x.*")
+
+
+def retention(
+    events: DataFrame,
+    period_s: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users bucketed by their FIRST-activity period
+    (cohort), then counted per (cohort, offset) where offset = periods
+    since the cohort period → (cohort, offset, n_users, retention).
+    retention = n_users / cohort size (offset 0 row is the size itself,
+    retention 1.0).
+
+    Period indexes are integer floor(epoch_us / period_us) — calendar-
+    free, so both engines bucket identically with no tz/week-start
+    semantics to reconcile.
+
+    Shape: distinct (user, period) activity pairs and the per-user min
+    both shuffle by user — co-partitioned, so the equi-join that turns
+    activity into offsets adds no third exchange; the final rollup is a
+    combinable count over (cohort, offset).
+    """
+    pu = period_s * 1_000_000
+    e = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / pu).alias(
+            "_p"
+        ),
+    )
+    active = e.distinct()
+    first = active.groupBy("_u").agg(F.min("_p").alias("cohort"))
+    per = (
+        active.join(first, "_u")
+        .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    size = per.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_users").alias("_size")
+    )
+    return per.join(F.broadcast(size), "cohort").select(
+        "cohort",
+        "offset",
+        "n_users",
+        (
+            F.round(F.col("n_users") / F.col("_size").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("retention"),
+    )

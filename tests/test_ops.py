@@ -667,3 +667,34 @@ def test_funnel_anchored_greedy_semantics(spark):
     # unbounded gap: u3 and u5 now convert too
     out2 = {r.step_idx: r.n_users for r in funnel(df, ["A", "B"]).collect()}
     assert out2 == {1: 6, 2: 4}
+
+
+def test_retention_cohort_math(spark):
+    import datetime as dt
+
+    from matric_spark.operators.events import retention
+
+    t0 = dt.datetime(2024, 1, 4)  # mid-period anchor
+
+    def e(uid, days):
+        return (uid, t0 + dt.timedelta(days=days))
+
+    # period = 7 days. u1,u2,u3 first-active in period P; u1 active P+1
+    # and P+2, u2 active P+1 only, u3 never returns. u4 starts at P+1.
+    rows = [
+        e(1, 0), e(1, 7), e(1, 14),
+        e(2, 1), e(2, 8),
+        e(3, 2),
+        e(4, 7), e(4, 7),  # duplicate activity collapses via distinct
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort, r.offset): (r.n_users, r.retention)
+           for r in retention(df, period_s=7 * 86400).collect()}
+    cohorts = sorted({c for c, _ in out})
+    p = cohorts[0]
+    assert out[(p, 0)] == (3, 1.0)
+    assert out[(p, 1)][0] == 2 and abs(out[(p, 1)][1] - 2 / 3) < 1e-6
+    assert out[(p, 2)][0] == 1
+    # u4's own cohort: one user, offset 0 only
+    assert out[(cohorts[1], 0)] == (1, 1.0)
+    assert (cohorts[1], 1) not in out
