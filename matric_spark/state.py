@@ -495,3 +495,61 @@ def assemble_verdicts_extended(
     return core.unionByName(
         _extended_rows(wide, default_transcript_rules(), volume_abs_delta)
     )
+
+
+def metric_history_drift(
+    store: StateStore,
+    fingerprint_now: str,
+    fingerprint_prev: str,
+) -> DataFrame:
+    """Run-over-run metric regression report from state ONLY: for each
+    (partition, scalar check) present in both runs' `local` state,
+    compare violation RATES (count / n_rows — volume-independent, so a
+    bigger ingest doesn't masquerade as a quality regression) →
+    (part, metric, rate_now, rate_prev, rate_delta).
+
+    The temporal companion of schema_drift_vs_recorded: schema history
+    says the COLUMNS changed, this says the VIOLATION PROFILE changed —
+    yesterday's run passed with 0.1% null text, today's 4% at the same
+    schema is the upstream bug this catches. No data re-scan: both
+    sides are completed-run state reads.
+    """
+    checks = ["ref_role", "ref_tool", "null_text", "null_ts", "seq_order"]
+
+    def rates(fp: str, tag: str) -> DataFrame:
+        local = store._for("local", fp)
+        # unknown fingerprint = readable relation, zero rows — both are
+        # "no completed state" (the head(1) probe is state-sized)
+        if local is None or not local.head(1):
+            raise ValueError(f"no completed state for fingerprint {fp!r}")
+        local = local.dropDuplicates(["part"])
+        packed = local.select(
+            "part",
+            *[
+                (
+                    F.round(
+                        F.col(c) / F.col("n_rows").cast("double"), 6
+                    )
+                    + F.lit(0.0)
+                ).alias(c)
+                for c in checks
+            ],
+        )
+        return packed.unpivot(
+            ids=["part"],
+            values=checks,
+            variableColumnName="metric",
+            valueColumnName=f"rate_{tag}",
+        )
+
+    now = rates(fingerprint_now, "now")
+    prev = rates(fingerprint_prev, "prev")
+    return now.join(prev, ["part", "metric"]).select(
+        "part",
+        "metric",
+        "rate_now",
+        "rate_prev",
+        (
+            F.round(F.col("rate_now") - F.col("rate_prev"), 6) + F.lit(0.0)
+        ).alias("rate_delta"),
+    )

@@ -81,3 +81,118 @@ def test_ks_self_is_zero_and_bounded(spark, vals):
     for r in ks_by_partition(df2, "part", F.length("text")).collect():
         assert 0.0 <= r.ks_d <= 1.0 and 0.0 <= r.ks_p <= 1.0
         assert r.ks_d == pytest.approx(1.0)  # disjoint supports
+
+
+_conv = st.integers(0, 4)
+_role = st.sampled_from(["system", "user", "assistant", "tool", "moderator", None])
+_tool = st.sampled_from([None, "bash", "telnet"])
+_txt = st.sampled_from([None, "a", "bb", "ccc"])
+
+_rowset = st.lists(
+    st.tuples(_conv, st.integers(0, 3), _role, _txt, _tool, st.integers(0, 100)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_rowset)
+def test_quarantine_partition_property(spark, rows):
+    """clean ⊎ quarantined == input (row multiset), clean carries the
+    input schema, and a partition's summary counts are consistent —
+    for ARBITRARY transcript contents including nulls everywhere."""
+    import datetime as dt
+
+    from matric_spark.checks.quarantine import quarantine, quarantine_summary
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (f"c{c}", i, r, tx, tl, t0 + dt.timedelta(seconds=s), 1 + c % 2)
+        for (c, i, r, tx, tl, s) in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, part_month int",
+    )
+    clean, bad = quarantine(df)
+    assert clean.count() + bad.count() == len(data)
+    assert clean.columns == df.columns
+    assert all(r.reasons for r in bad.collect())  # never an empty reason
+    summ = quarantine_summary(df).collect()
+    for srow in summ:
+        assert srow.n_quarantined + srow.n_clean == srow.n_rows
+        # each reason count is bounded by the quarantined total
+        for reason in ("bad_role", "bad_tool", "null_text", "null_ts",
+                       "rule", "dup_key", "ooo"):
+            assert srow[f"n_{reason}"] <= srow.n_quarantined
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.sampled_from("AB")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_monotone_and_bounded(spark, events):
+    """Funnel counts are non-increasing per step and bounded by the
+    user count; a gap bound can only reduce conversions."""
+    import datetime as dt
+
+    from matric_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(u, t0 + dt.timedelta(seconds=s), t) for (u, s, t) in events]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+    free = {r.step_idx: r.n_users for r in funnel(df, ["A", "B"]).collect()}
+    gapped = {r.step_idx: r.n_users
+              for r in funnel(df, ["A", "B"], max_gap_s=5).collect()}
+    n_users = len({u for (u, _, _) in events})
+    assert free[1] <= n_users and free[2] <= free[1]
+    assert gapped[1] == free[1]          # step 1 has no gap constraint
+    assert gapped[2] <= free[2]          # a bound only removes matches
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    acts=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)),  # (user, period)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_retention_bounds(spark, acts):
+    """retention ∈ (0, 1]; offset-0 is exactly 1.0; per-cohort counts
+    never exceed the cohort size; offsets are non-negative."""
+    import datetime as dt
+
+    from matric_spark.operators.events import retention
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [(u, t0 + dt.timedelta(days=7 * p, hours=1)) for (u, p) in acts]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp")
+    out = retention(df, period_s=7 * 86400).collect()
+    sizes = {r.cohort: r.n_users for r in out if r.offset == 0}
+    for r in out:
+        assert r.offset >= 0
+        assert 0.0 < r.retention <= 1.0
+        assert r.n_users <= sizes[r.cohort]
+        if r.offset == 0:
+            assert r.retention == 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.text("ab", min_size=1, max_size=4), min_size=1, max_size=40)
+)
+def test_cms_never_underestimates_property(spark, keys):
+    from matric_spark.operators.sketches import cms_build, cms_estimate
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(cms_build(df, "k"), exact.select("k"), "k")
+    for r in exact.join(est, "k").collect():
+        assert r.cms_est >= r.n

