@@ -314,9 +314,13 @@ def funnel(
     reached = per.select(
         F.aggregate("_seq", init, advance)["k"].alias("_r")
     )
+    # coalesce: a global agg over zero users yields NULL sums; the
+    # funnel's answer is 0, matching the oracle's count(*)
     counts = reached.agg(
         *[
-            F.sum((F.col("_r") >= k).cast("long")).alias(f"_s{k}")
+            F.coalesce(
+                F.sum((F.col("_r") >= k).cast("long")), F.lit(0)
+            ).alias(f"_s{k}")
             for k in range(1, n + 1)
         ]
     )
@@ -349,10 +353,12 @@ def retention(
     free, so both engines bucket identically with no tz/week-start
     semantics to reconcile.
 
-    Shape: distinct (user, period) activity pairs and the per-user min
-    both shuffle by user — co-partitioned, so the equi-join that turns
-    activity into offsets adds no third exchange; the final rollup is a
-    combinable count over (cohort, offset).
+    Shape: one distinct over (user, period), one per-user min, one
+    user-keyed equi-join, one (cohort, offset) rollup. Cohort sizes come
+    from `first` directly (every user is by definition active in their
+    own min period, so |cohort| = users with that min) — NOT by
+    re-filtering the rollup, which would re-execute the whole
+    distinct+join subplan a second time.
     """
     pu = period_s * 1_000_000
     e = events.filter(
@@ -370,9 +376,7 @@ def retention(
         .groupBy("cohort", (F.col("_p") - F.col("cohort")).alias("offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    size = per.filter(F.col("offset") == 0).select(
-        "cohort", F.col("n_users").alias("_size")
-    )
+    size = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("_size"))
     return per.join(F.broadcast(size), "cohort").select(
         "cohort",
         "offset",

@@ -674,7 +674,11 @@ def test_retention_cohort_math(spark):
 
     from matric_spark.operators.events import retention
 
-    t0 = dt.datetime(2024, 1, 4)  # mid-period anchor
+    # 2024-01-04 00:00 UTC is exactly period-aligned (epoch = 2818 weeks);
+    # +12h makes the anchor genuinely mid-period so the calendar-free
+    # bucketing is exercised off the boundary (all offsets unchanged for
+    # phase < 6 days)
+    t0 = dt.datetime(2024, 1, 4, 12)
 
     def e(uid, days):
         return (uid, t0 + dt.timedelta(days=days))
@@ -698,3 +702,13 @@ def test_retention_cohort_math(spark):
     # u4's own cohort: one user, offset 0 only
     assert out[(cohorts[1], 0)] == (1, 1.0)
     assert (cohorts[1], 1) not in out
+
+
+def test_funnel_empty_input_returns_zero_counts(spark):
+    from matric_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [(1, None, "X")], "user_id long, ts timestamp, event_type string"
+    )
+    out = {r.step_idx: r.n_users for r in funnel(df, ["A", "B"]).collect()}
+    assert out == {1: 0, 2: 0}
