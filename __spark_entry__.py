@@ -1425,6 +1425,15 @@ def q_partition_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_volume(transcript_df(spark, sf_dir), "part_month")
 
 
+def q_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of monthly ingest volume: slope + r² over the month
+    index — the slow-leak detector partition_volume's per-month deltas
+    smooth over."""
+    from matric_spark.checks.column_stats import volume_trend
+
+    return volume_trend(transcript_df(spark, sf_dir), "part_month")
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit (conv_id, turn_idx) → (text, role):
     duplicate keys whose copies DISAGREE — the subset of uniqueness
@@ -1562,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "doc_sample_weighted": q_doc_sample_weighted,
         "partition_volume": q_partition_volume,
+        "volume_trend": q_volume_trend,
         "cms_topk_bounds": q_cms_topk_bounds,
         "vocab_drift": q_vocab_drift,
         "dedup_impact": q_dedup_impact,
@@ -2445,6 +2455,25 @@ SELECT part_month, n_rows,
        (round((n_rows - lag(n_rows) OVER w)
               / CAST(lag(n_rows) OVER w AS DOUBLE), 6) + 0) AS delta_pct
 FROM a WINDOW w AS (ORDER BY part_month)"""
+
+    # volume trend: every OLS sum is over integer-valued terms < 2^53,
+    # so both engines accumulate exactly; identical expression order
+    sql["volume_trend"] = f"""{_T},
+c AS (SELECT part_month, CAST(count(*) AS BIGINT) AS n_rows
+      FROM transcripts GROUP BY 1),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM (SELECT CAST(CAST(floor(part_month / 100.0) AS BIGINT) * 12
+                        + part_month % 100 AS DOUBLE) AS x,
+                   CAST(n_rows AS DOUBLE) AS y FROM c) t)
+SELECT CAST(n AS BIGINT) AS n_partitions,
+       (round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6)
+        + 0) AS slope,
+       (round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+              / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6)
+        + 0) AS r2
+FROM s"""
 
     # FD audit: duplicate keys whose copies disagree; distinct-counts run
     # over the shared 60-bit payload hash on BOTH engines (Spark hashes

@@ -242,3 +242,46 @@ def volume_profile(counts: DataFrame, partition_col: str) -> DataFrame:
         )
         .drop("_idx")
     )
+
+
+def volume_trend(df: DataFrame, partition_col: str = "part_month") -> DataFrame:
+    """Closed-form OLS trend of ingest volume over the month index →
+    one row (n_partitions, slope, r2): is the table growing, flat, or
+    silently draining? partition_volume flags single-month anomalies;
+    the trend catches slow leaks its month-over-month deltas smooth
+    over. Same closed-form-sums recipe as the Zipf fit
+    (text_analysis.zipf_fit): every sum is over integer-valued terms, so
+    both engines accumulate exactly regardless of order. Degenerate
+    inputs (one month, zero x-variance or zero y-variance) yield NULL
+    slope/r2 via nullif on both engines.
+    """
+    counts = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    x = (
+        F.floor(F.col(partition_col) / 100) * 12 + F.col(partition_col) % 100
+    ).cast("double")
+    y = F.col("n_rows").cast("double")
+    s = counts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_partitions"),
+        (F.round(cov_n / F.nullif(varx_n, F.lit(0.0)), 6) + F.lit(0.0)).alias(
+            "slope"
+        ),
+        (
+            F.round(
+                cov_n * cov_n
+                / F.nullif(varx_n * vary_n, F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    )

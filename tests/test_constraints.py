@@ -322,3 +322,22 @@ def test_cluster_size_stats(spark):
     out = {r.cluster_size: r for r in cluster_size_stats(df).collect()}
     assert out[3].n_clusters == 1 and out[3].n_docs == 3 and out[3].n_removable == 2
     assert out[2].n_clusters == 2 and out[2].n_docs == 4 and out[2].n_removable == 2
+
+
+def test_volume_trend_closed_form(spark):
+    from matric_spark.checks.column_stats import volume_trend
+
+    # perfectly linear growth: 100, 200, 300 rows over consecutive months
+    rows = (
+        [(202401, i) for i in range(100)]
+        + [(202402, i) for i in range(200)]
+        + [(202403, i) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "part_month int, x int")
+    r = volume_trend(df, "part_month").collect()[0]
+    assert r.n_partitions == 3
+    assert abs(r.slope - 100.0) < 1e-6 and abs(r.r2 - 1.0) < 1e-6
+    # degenerate: one month -> NULL slope/r2 (nothing to fit)
+    one = spark.createDataFrame([(202401, 1), (202401, 2)], "part_month int, x int")
+    r1 = volume_trend(one, "part_month").collect()[0]
+    assert r1.n_partitions == 1 and r1.slope is None and r1.r2 is None
