@@ -1588,6 +1588,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# cost tiers from the recorded sf0.1/local[32] bench (BENCH_r02/r03):
+# expensive >= ~5 s, medium ~1-5 s, everything else cheap (< 1 s).
+_EXPENSIVE_QUERIES = {
+    "ann_ivf_soundness", "ann_topk_ivf", "conv_dup_spans", "conv_near_dup",
+    "emb_ivf_soundness", "emb_near_dup_ivf", "emb_near_dup_lsh",
+    "incremental_verdicts", "incremental_verdicts_extended",
+    "sim_kendall_strata", "sim_metrics_level10", "sim_metrics_level21",
+}
+_MEDIUM_QUERIES = {
+    "boilerplate_turns", "cluster_canonical", "cluster_stats", "colstats",
+    "cms_topk_bounds", "conv_fingerprint", "conv_token_stats",
+    "conv_verdicts", "conversation_shape", "corpus_quality",
+    "dedup_clusters", "dedup_exact_text", "dedup_impact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "doc_dup_spans", "doc_fingerprint", "doc_langid", "doc_lm_score",
+    "doc_repetition", "doc_text_stats", "drift_emd", "drift_ks",
+    "drift_psi", "emb_dedup_clusters", "emb_near_dup", "events_drift",
+    "fd_violations", "heavy_hitters", "quarantine_summary",
+    "ref_role_violations", "ref_tool_violations", "role_transitions",
+    "seq_out_of_order", "signif_monotonic", "sim_collate",
+    "sim_collate_alldiff", "sim_cosine_strata", "sim_euclidean_strata",
+    "sim_pearson_strata", "sim_signif", "sim_spearman_strata",
+    "sketch_bounds", "sketch_stats", "text_parity", "tfidf_topk",
+    "uniqueness_keys", "verdicts", "verdicts_extended", "vocab_drift",
+}
+
+
+def queries_manifest() -> dict[str, dict[str, str]]:
+    """Per-query metadata for a stratifying/sampling driver:
+    name -> {family, tier, oracle}.
+
+    - family: operator family (the name's prefix domain) — sample at
+      least one per family to cover every subsystem.
+    - tier: 'cheap' (<1 s at sf0.1/local[32]) / 'medium' (1-5 s) /
+      'expensive' (>=5 s), from the recorded bench runs.
+    - oracle: 'sql' = full DuckDB value-hash gate via oracle_sql();
+      'rows_only' = deliberate omission (seeded permutation nulls,
+      LSH/IVF recall, sketch point values — each has a gated
+      soundness/invariant twin, see README).
+    """
+    families = {
+        "sim": "sim_suite", "dedup": "dedup", "emb": "embeddings",
+        "ann": "embeddings", "events": "events", "conv": "conversations",
+        "doc": "documents", "drift": "drift", "colstats": "column_stats",
+        "sketch": "sketches", "cms": "sketches", "heavy": "sketches",
+        "ref": "referential", "uniqueness": "uniqueness",
+        "incremental": "state_resume", "signif": "sim_suite",
+        "verdicts": "verdict_suite", "schema": "schema",
+        "role": "sequence", "seq": "sequence", "conversation": "sequence",
+        "term": "text_analysis", "tfidf": "text_analysis",
+        "vocab": "text_analysis", "corpus": "corpus_curation",
+        "decontaminate": "corpus_curation", "pack": "corpus_curation",
+        "pii": "corpus_curation", "filter": "corpus_curation",
+        "cluster": "dedup", "boilerplate": "dedup", "text": "verdict_suite",
+        "partition": "column_stats", "volume": "column_stats",
+        "quarantine": "verdict_suite", "fd": "constraints",
+        "rule": "constraints", "fk": "referential", "robust": "column_stats",
+        "ingest": "corpus_curation",
+    }
+    sql_keys = set(oracle_sql())
+    out: dict[str, dict[str, str]] = {}
+    for name in queries():
+        fam = families.get(name.split("_", 1)[0], "other")
+        tier = (
+            "expensive"
+            if name in _EXPENSIVE_QUERIES
+            else "medium" if name in _MEDIUM_QUERIES else "cheap"
+        )
+        out[name] = {
+            "family": fam,
+            "tier": tier,
+            "oracle": "sql" if name in sql_keys else "rows_only",
+        }
+    return out
+
+
 # -------------------------------------------------------------- oracle SQL
 
 def _ks_ctes(src: str, part: str, val: str) -> str:

@@ -41,18 +41,38 @@ def sim_collate(
     any_different_cols_group: list[str] | None = None,
     all_same_cols_rep_ref: list[str] | None = None,
     drop_group_spec: DataFrame | None = None,
+    drop_reference: bool = True,
     id_col: str = "id",
 ) -> DataFrame:
     """Typed pair index DataFrame[id1, id2, type].
 
     Optional 5th subset (R/sim_collate.R:460-478): `rep_group` — same
     group (e.g. same gene, `all_same_cols_group`) but different
-    perturbation (`any_different_cols_group`), non-reference both sides.
+    perturbation (`any_different_cols_group`).
 
     `drop_group_spec` is step 0 (R/sim_collate.R:246-258): rows matching
     the spec-by-example table (matric's EMPTY wells) are anti-joined out
     of the population before ANY pair generation, which drops them from
     both sides of every subset at once.
+
+    `drop_reference` mirrors R/sim_collate.R:211 (its default there is
+    FALSE). Under FALSE — the setting of the reference's own golden
+    pipelines and testthat tallies (test-sim_collate.R:207-226) —
+    reference rows stay on specific pair sides:
+    - ref      : LEFT side keeps reference rows, so ref×ref pairs that
+                 are NOT rep_ref pairs (e.g. same plate, different
+                 perturbation) remain typed 'ref' after the anti-join
+                 (R/sim_collate.R:281-287 keep_some with
+                 drop_reference=FALSE; anti-join at :388-395).
+    - non_rep  : LEFT keeps reference rows, RIGHT drops them — the
+                 asymmetry of R/sim_collate.R:420-436
+                 (filter_drop_left=NULL, filter_drop_right=reference).
+    - rep_group: BOTH sides keep reference rows
+                 (R/sim_collate.R:461-476, reference_both=NULL).
+    Under TRUE every subset is reference-free on both sides. `rep` and
+    `rep_ref` never depend on the flag. Verified against the reference's
+    hard-coded tallies on its packaged cellhealth data
+    (tests/test_reference_parity.py).
     """
     if drop_group_spec is not None:
         meta = meta.join(
@@ -61,10 +81,14 @@ def sim_collate(
     non_ref = meta.filter(~reference)
     refs = meta.filter(reference)
 
-    # ref: non-ref side × reference side, same partition key; reference
-    # side is tiny → broadcast (R/sim_collate.R:277-288)
+    # ref: (all | non-ref) side × reference side, same partition key;
+    # reference side is tiny → broadcast (R/sim_collate.R:277-288)
     ref_pairs = vs_reference_pairs(
-        meta, reference, same_cols=all_same_cols_ref, id_col=id_col
+        meta,
+        reference,
+        same_cols=all_same_cols_ref,
+        id_col=id_col,
+        include_ref_left=not drop_reference,
     ).withColumn("type", F.lit("ref"))
 
     # rep: replicate pairs among non-reference rows (both directions,
@@ -92,10 +116,13 @@ def sim_collate(
     # optionally all-different on every all_different_cols_non_rep
     # (R/sim_collate.R:419-438; the reference's fetch_non_rep gate at
     # :231-234 requires all three constraint sets)
-    universe = within_group_pairs(non_ref, all_same_cols_non_rep, id_col=id_col)
+    non_rep_left = non_ref if drop_reference else meta
+    universe = within_group_pairs(
+        non_rep_left, all_same_cols_non_rep, id_col=id_col, right_pop=non_ref
+    )
     non_rep_pairs = filter_some_different(
         universe,
-        non_ref,
+        meta,
         all_same_cols=all_same_cols_non_rep,
         all_different_cols=all_different_cols_non_rep,
         any_different_cols=any_different_cols_non_rep,
@@ -108,12 +135,13 @@ def sim_collate(
     out = out.unionByName(non_rep_pairs)
 
     if all_same_cols_group:
+        group_pop = non_ref if drop_reference else meta
         group_universe = within_group_pairs(
-            non_ref, all_same_cols_group, id_col=id_col
+            group_pop, all_same_cols_group, id_col=id_col
         )
         rep_group_pairs = filter_some_different(
             group_universe,
-            non_ref,
+            meta,
             all_same_cols=all_same_cols_group,
             any_different_cols=any_different_cols_group or [],
             id_col=id_col,

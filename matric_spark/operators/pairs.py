@@ -21,16 +21,19 @@ with the pearson kernel — the ranks come from windows over the exploded
 elements, so every kernel stays a Column-expression pipeline with no
 Python in the pair hot path.
 
-Pearson/spearman NaN semantics: these kernels are EXACT equal to R only
-for complete rows — stats::cor's use="pairwise.complete.obs"
+Pearson/spearman NaN semantics: the codegen kernels are EXACT equal to
+R only for complete rows — stats::cor's use="pairwise.complete.obs"
 (R/sim_calculate.R:122-124) recomputes means per PAIR when NAs survive,
 which a row-preprocessed formulation cannot reproduce (matric's own
 sparse path, R/sparse.R:194-198, makes the same simplification). The
 reference's preprocess_data drops NA-bearing feature columns first
 (R/utils.R:97-120 ≙ operators/population.preprocess_data), so complete
-rows are the contract; `attach_sim` enforces it with a runtime
+rows are the codegen contract; `attach_sim` enforces it with a runtime
 assert_true on NaN features for these kernels rather than silently
-diverging.
+diverging. For NA-bearing data, kernel="pearson_complete" implements
+the exact pairwise.complete.obs semantics on the blocked numpy path
+(sparse.pearson_pairwise_complete_rows, differential-tested against
+R's documented edge cases).
 """
 
 from __future__ import annotations
@@ -40,7 +43,14 @@ from pyspark.sql import functions as F
 
 from matric_spark.functions.vector import dot
 
-KERNELS = ("cosine", "pearson", "euclidean", "spearman", "kendall")
+KERNELS = (
+    "cosine",
+    "pearson",
+    "pearson_complete",
+    "euclidean",
+    "spearman",
+    "kendall",
+)
 
 
 def all_pairs(pop: DataFrame, id_col: str = "id") -> DataFrame:
@@ -52,13 +62,24 @@ def all_pairs(pop: DataFrame, id_col: str = "id") -> DataFrame:
 
 
 def within_group_pairs(
-    pop: DataFrame, same_cols: list[str], id_col: str = "id"
+    pop: DataFrame,
+    same_cols: list[str],
+    id_col: str = "id",
+    right_pop: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs agreeing on all `same_cols`: per-group self cross product
     via equi-join (R/sim_calculate.R:177-191 reduct_all_same_cols_*).
-    Shuffle is keyed on the group columns — never a cross join."""
+    Shuffle is keyed on the group columns — never a cross join.
+
+    `right_pop` makes the universe asymmetric (left side from `pop`,
+    right side from `right_pop`) — needed by sim_collate's non_rep
+    subset under the reference's default drop_reference=FALSE, where
+    the LEFT side keeps reference rows but the RIGHT side drops them
+    (R/sim_collate.R:419-438 filter_drop_right = reference)."""
     a = pop.select(*same_cols, F.col(id_col).alias("id1"))
-    b = pop.select(*same_cols, F.col(id_col).alias("id2"))
+    b = (right_pop if right_pop is not None else pop).select(
+        *same_cols, F.col(id_col).alias("id2")
+    )
     return (
         a.join(b, same_cols)
         .filter(F.col("id1") != F.col("id2"))
@@ -200,8 +221,8 @@ def _nan_guard(v: F.Column, kernel: str) -> F.Column:
     msg = F.lit(
         f"{kernel} kernel requires complete rows (no NaN features): run "
         "preprocess_data to drop NA-bearing feature columns first "
-        "(R/utils.R:97-120); pairwise.complete.obs semantics are not "
-        "reproduced — see operators/pairs.py module docstring"
+        "(R/utils.R:97-120), or use kernel='pearson_complete' for exact "
+        "pairwise.complete.obs semantics on NA-bearing data"
     )
     return F.when(F.assert_true(ok, msg).isNull(), v)
 
@@ -224,16 +245,18 @@ def attach_sim(
     if kernel in ("pearson", "spearman", "kendall"):
         feat_src = feat_src.withColumn(vec_col, _nan_guard(v, kernel))
         v = F.col(vec_col)
-    if kernel == "kendall":
-        # rank-correlation over every element pair — no row preprocessing
-        # makes it a dot product, so it runs on the blocked numpy path
-        # (one vectorized tau-b per Arrow batch; sparse.kendall_rows)
+    if kernel in ("kendall", "pearson_complete"):
+        # kendall: rank-correlation over every element pair — no row
+        # preprocessing makes it a dot product. pearson_complete: the
+        # per-pair NaN mask makes means/norms pair-dependent
+        # (stats::cor use="pairwise.complete.obs"). Both run on the
+        # blocked numpy path (one vectorized kernel per Arrow batch).
         from matric_spark.operators.sparse import pairwise_blocked
 
         return pairwise_blocked(
             pairs,
             feat_src,
-            kernel="kendall",
+            kernel=kernel,
             id_col="_fid",
             vec_col=vec_col,
             keep_cols=keep_cols,

@@ -57,6 +57,39 @@ def pearson_rows(x1, x2):
     )
 
 
+def pearson_pairwise_complete_rows(x1, x2):
+    """Pearson with R's use="pairwise.complete.obs" semantics
+    (stats::cor, the reference's eager correlation path,
+    R/sim_calculate.R:122-124): for EACH row pair, restrict to the
+    coordinates where both rows are non-NaN, then compute means, norms
+    and the dot over that common support only. A row-preprocessed
+    formulation cannot express this (the mean depends on the partner
+    row's NaN mask), which is why it lives on the blocked numpy path.
+
+    R edge cases reproduced: fewer than 2 complete coordinate pairs →
+    NA; zero variance on the common support → NA (R warns "the standard
+    deviation is zero" and yields NA). NaN crosses the Arrow boundary
+    as SQL NULL."""
+    import numpy as np
+
+    m = ~(np.isnan(x1) | np.isnan(x2))
+    n = m.sum(axis=1).astype(np.float64)
+    a = np.where(m, x1, 0.0)
+    b = np.where(m, x2, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_a = a.sum(axis=1) / n
+        mean_b = b.sum(axis=1) / n
+        ac = np.where(m, x1 - mean_a[:, None], 0.0)
+        bc = np.where(m, x2 - mean_b[:, None], 0.0)
+        num = np.einsum("ij,ij->i", ac, bc)
+        den = np.sqrt(
+            np.einsum("ij,ij->i", ac, ac) * np.einsum("ij,ij->i", bc, bc)
+        )
+        out = np.where(den > 0, num / den, np.nan)
+    out[n < 2] = np.nan
+    return out
+
+
 #: per-buffer memory budget for kendall's sign matrices (bytes). Two
 #: int8 buffers of chunk × d(d-1)/2 live at once, so peak extra memory
 #: is ~2 × this regardless of d.
@@ -120,6 +153,7 @@ def kendall_rows(x1, x2, _chunk: int | None = None):
 KERNELS: dict[str, Kernel] = {
     "cosine": cosine_rows,
     "pearson": pearson_rows,
+    "pearson_complete": pearson_pairwise_complete_rows,
     "tcrossprod": tcrossprod_rows,
     "kendall": kendall_rows,
 }

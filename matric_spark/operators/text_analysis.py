@@ -319,10 +319,15 @@ def doc_lm_score(docs: DataFrame) -> DataFrame:
     docs, the standard cheap quality gate before training.
 
     Scale shape: per-doc tf via one groupBy(doc_id, token) with map-side
-    combine; corpus totals (ctf table + the two scalars) are vocab-sized
-    and BROADCAST back; the per-doc reduce is a second hash aggregate.
-    No window, no join on the doc axis. ln() is evaluated identically on
-    identical doubles on both engines; the 6dp round absorbs the ≤1-ulp
+    combine; the corpus term-frequency relation joins back as a plain
+    shuffle-hash join keyed on `token` — per_doc is already partitioned
+    by (doc_id, token) and ctf by token, so the join shuffles ids+counts
+    only, never text. ctf is deliberately NOT broadcast: it has |vocab|
+    rows, and on a web corpus distinct normalized tokens run to 1e8-1e9 —
+    a broadcast would OOM the driver (the scalar `totals` relation, 1
+    row, IS broadcast). Pinned by tests/test_plans.py. No window, no
+    join on the doc axis. ln() is evaluated identically on identical
+    doubles on both engines; the 6dp round absorbs the ≤1-ulp
     libm-vs-JVM difference (same contract as the PSI oracle).
     """
     from matric_spark.operators.dedup import normalized_text
@@ -343,7 +348,7 @@ def doc_lm_score(docs: DataFrame) -> DataFrame:
         (F.col("ctf") + 1) / (F.col("t_total") + F.col("vocab"))
     )
     return (
-        per_doc.join(F.broadcast(ctf), "token")
+        per_doc.join(ctf, "token")
         .join(F.broadcast(totals))
         .groupBy("doc_id")
         .agg(

@@ -493,3 +493,32 @@ def test_funnel_single_user_shuffle_no_join(spark):
     assert "Join" not in p
     # exchanges: the groupBy(user) + the final single-row aggregate
     assert len(re.findall(r"\n\(\d+\) Exchange\b", p)) <= 2
+
+
+def test_doc_lm_score_does_not_broadcast_vocab(spark, sf_dir):
+    """The corpus term-frequency relation is |vocab|-sized (1e8-1e9
+    distinct tokens on a web corpus) — it must join back on `token` as a
+    shuffle hash/merge join, never a BroadcastExchange. The only
+    broadcast allowed is the 1-row `totals` scalar relation."""
+    import re
+
+    from matric_spark.operators.text_analysis import doc_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # with auto-broadcast off, only HINTED broadcasts survive in the
+    # plan — so any BroadcastExchange carrying token/ctf would mean the
+    # code forces the vocab broadcast (the at-scale OOM). The optimizer
+    # is still free to pick broadcast from size stats at toy scale;
+    # that's correct behavior, not a forced hint.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(doc_lm_score(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    sections = re.finditer(
+        r"\n\(\d+\) BroadcastExchange\n(.*?)(?=\n\(\d+\) |\Z)", p, re.S
+    )
+    for m in sections:
+        im = re.search(r"Input \[\d+\]: \[(.*?)\]", m.group(1))
+        assert im and not re.search(r"\b(token|ctf)#\d+", im.group(1)), m.group(1)

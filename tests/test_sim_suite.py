@@ -444,3 +444,72 @@ def test_bh_adjust(spark):
     assert q[2] == pytest.approx(0.04)
     assert q[3] == pytest.approx(0.04)   # min(0.03*3/2, 0.04) = 0.04? no: 0.045 → 0.04
     assert q[1] == pytest.approx(0.015)  # min(0.005*3/1, 0.04) = 0.015
+
+
+def test_pearson_complete_matches_plain_on_complete_rows(spark, population):
+    """On NA-free data pairwise.complete.obs degenerates to plain
+    pearson — the two paths (blocked numpy vs codegen expressions) must
+    agree to float-reassociation tolerance."""
+    from matric_spark.operators.pairs import sim_calculate
+
+    plain = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(population, "pearson", strata=["label"]).collect()
+    }
+    comp = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(
+            population, "pearson_complete", strata=["label"]
+        ).collect()
+    }
+    assert set(plain) == set(comp)
+    for k, v in plain.items():
+        assert comp[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_pearson_complete_matches_r_semantics_with_nans(spark):
+    """Differential vs an independent per-pair formulation of
+    stats::cor(use="pairwise.complete.obs") (R/sim_calculate.R:122-124):
+    mask to the common non-NaN support, then np.corrcoef on the
+    restricted subvectors. Edge cases per R docs: <2 complete pairs →
+    NA; zero variance on the common support → NA."""
+    import numpy as np
+
+    from matric_spark.operators.pairs import sim_calculate
+
+    nan = float("nan")
+    vecs = {
+        1: [1.0, 2.0, nan, 4.0, 5.0, 6.0],
+        2: [2.0, nan, 3.0, 8.0, 9.0, 1.0],
+        3: [nan, 1.0, 1.0, nan, 2.0, 7.0],
+        4: [1.0, nan, nan, 2.0, nan, nan],   # tiny common support
+        5: [3.0, 3.0, 3.0, 3.0, nan, 3.0],   # constant on any support
+    }
+    pop = spark.createDataFrame(
+        [(i, v, 1) for i, v in vecs.items()],
+        "id long, features array<double>, label int",
+    )
+    got = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(
+            pop, "pearson_complete", strata=["label"]
+        ).collect()
+    }
+
+    def r_pairwise(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        m = ~(np.isnan(a) | np.isnan(b))
+        if m.sum() < 2:
+            return None
+        aa, bb = a[m], b[m]
+        if aa.std() == 0 or bb.std() == 0:
+            return None
+        return float(np.corrcoef(aa, bb)[0, 1])
+
+    assert len(got) == 20  # 5P2 ordered pairs
+    for (i, j), sim in got.items():
+        want = r_pairwise(vecs[i], vecs[j])
+        if want is None:
+            assert sim is None or math.isnan(sim), (i, j, sim)
+        else:
+            assert sim == pytest.approx(want, abs=1e-12), (i, j)
