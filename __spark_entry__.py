@@ -372,6 +372,30 @@ def q_emb_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest admission gate (corpus.ingest_gate): every 5th
+    doc/embedding plays the fresh crawl batch, the rest the existing
+    corpus; each new doc gets its cross-set text near-dup, semantic
+    near-dup, and novelty signals plus a deterministic routing decision
+    (keep / drop_text_dup / drop_semantic_dup / quarantine_low_novelty).
+    The composition of dedup_incremental + emb_dedup_incremental +
+    doc_novelty into the one query a pipeline owner actually runs per
+    batch. semantic_path='exact' keeps the whole gate byte-reproducible
+    by the DuckDB oracle at test scale; production uses the IVF-blocked
+    default (soundness-gated by emb_ivf_soundness)."""
+    from matric_spark.operators.corpus import ingest_gate
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    return ingest_gate(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        emb.filter(F.col("vec_id") % 5 != 0),
+        semantic_path="exact",
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matric_spark.operators.ann import ann_topk_bruteforce
 
@@ -1514,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_ivf": q_emb_near_dup_ivf,
         "emb_ivf_soundness": q_emb_ivf_soundness,
         "emb_dedup_incremental": q_emb_dedup_incremental,
+        "ingest_gate": q_ingest_gate,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_ivf_soundness": q_ann_ivf_soundness,
@@ -1601,7 +1626,7 @@ _MEDIUM_QUERIES = {
     "cms_topk_bounds", "conv_fingerprint", "conv_token_stats",
     "conv_verdicts", "conversation_shape", "corpus_quality",
     "dedup_clusters", "dedup_exact_text", "dedup_impact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash", "ingest_gate",
     "doc_dup_spans", "doc_fingerprint", "doc_langid", "doc_lm_score",
     "doc_repetition", "doc_text_stats", "drift_emd", "drift_ks",
     "drift_psi", "emb_dedup_clusters", "emb_near_dup", "events_drift",
@@ -2228,6 +2253,7 @@ GROUP BY 1 HAVING count(*) > 1"""
 SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
        CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"""
     sql["emb_dedup_incremental"] = dk.embedding_near_dup_cross_sql(0.4)
+    sql["ingest_gate"] = dk.ingest_gate_sql()
 
     sql["emb_ivf_soundness"] = """
 SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,

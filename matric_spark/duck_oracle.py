@@ -1148,3 +1148,57 @@ SELECT n.vec_id AS new_id, r.vec_id AS ref_id,
        (round(list_dot_product(n.v, r.v), 6) + 0) AS cosine
 FROM n CROSS JOIN r
 WHERE list_dot_product(n.v, r.v) >= {threshold}"""
+
+
+def ingest_gate_sql(
+    jaccard_drop: float = 0.5,
+    cosine_drop: float = 0.45,
+    novelty_floor: float = 0.2,
+) -> str:
+    """Mirrors operators/corpus.ingest_gate for the entry split
+    (doc_id/vec_id % 5 == 0 plays the fresh batch) with the exact
+    semantic path: compose the three already-gated signal kernels
+    (minhash_lsh_cross_sql / embedding_near_dup_cross_sql /
+    shingle_novelty_sql) as subqueries, aggregate each to a per-new-doc
+    max, and apply the identical CASE routing on the 6dp-rounded values.
+    The kernel outputs are already round(...,6)+0; max() of rounded
+    non-negative values preserves the normalization, so the outer
+    re-round is the same idempotent op the Spark side applies
+    (round6(max(...)) == max(round6(...)) by monotonicity). Threshold
+    literals are CAST AS DOUBLE — DuckDB types bare 0.45 as DECIMAL and
+    a DECIMAL/DOUBLE compare in the CASE would promote differently than
+    Spark's double compare."""
+    # NULL-text docs are excluded from the text signals on BOTH engines
+    # (the Spark side filters before shingling; Spark's concat_ws('')
+    # shingle fallback vs DuckDB's never-joining NULL hash would
+    # otherwise diverge — same trap as shingle_novelty/duplicated_spans)
+    tj = minhash_lsh_cross_sql(
+        0.1, "doc_id % 5 = 0",
+        src="(SELECT * FROM documents WHERE text IS NOT NULL) dnn",
+    )
+    ce = embedding_near_dup_cross_sql(0.4)
+    nv = shingle_novelty_sql(n=3)
+    return f"""
+WITH tj AS (
+  SELECT new_id AS doc_id, (round(max(jaccard), 6) + 0) AS max_jaccard
+  FROM ({tj}) q GROUP BY 1),
+ce AS (
+  SELECT new_id AS doc_id, (round(max(cosine), 6) + 0) AS max_cosine
+  FROM ({ce}) q GROUP BY 1),
+nv AS (SELECT doc_id, novelty FROM ({nv}) q),
+base AS (
+  SELECT doc_id, text IS NOT NULL AS has_text
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT b.doc_id, tj.max_jaccard, ce.max_cosine, nv.novelty,
+       CASE WHEN NOT b.has_text THEN 'quarantine_no_text'
+            WHEN tj.max_jaccard >= CAST({jaccard_drop} AS DOUBLE)
+              THEN 'drop_text_dup'
+            WHEN ce.max_cosine >= CAST({cosine_drop} AS DOUBLE)
+              THEN 'drop_semantic_dup'
+            WHEN nv.novelty <= CAST({novelty_floor} AS DOUBLE)
+              THEN 'quarantine_low_novelty'
+            ELSE 'keep' END AS decision
+FROM base b
+LEFT JOIN tj USING (doc_id)
+LEFT JOIN ce USING (doc_id)
+LEFT JOIN nv USING (doc_id)"""

@@ -128,3 +128,146 @@ def pack_chunks(
     ).withColumn(
         "chunk_id", F.floor(F.col("offset") / budget)
     )
+
+
+def ingest_gate(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    new_emb: DataFrame | None = None,
+    ref_emb: DataFrame | None = None,
+    *,
+    jaccard_candidate: float = 0.1,
+    jaccard_drop: float = 0.5,
+    cosine_candidate: float = 0.4,
+    cosine_drop: float = 0.45,
+    novelty_floor: float = 0.2,
+    semantic_path: str = "ivf",
+    ivf_opts: dict | None = None,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+) -> DataFrame:
+    """The composed per-ingest-batch admission gate — the operator a
+    pipeline owner actually calls on every fresh crawl batch: textual
+    near-dup vs the corpus (MinHash-LSH, dedup.minhash_lsh_pairs_against),
+    semantic near-dup vs the corpus embeddings
+    (ann.embedding_near_dup_against[_ivf]), shingle novelty vs the corpus
+    (dedup.shingle_novelty), and a deterministic routing decision per new
+    document -> DataFrame[doc_id, max_jaccard, max_cosine, novelty,
+    decision].
+
+    Routing precedence (first match wins, all comparisons on the
+    6dp-rounded signals so the decision is engine-exact):
+      quarantine_no_text      text IS NULL (no shingle signals exist)
+      drop_text_dup           max cross-set jaccard >= jaccard_drop
+      drop_semantic_dup       max cross-set cosine  >= cosine_drop
+      quarantine_low_novelty  novelty <= novelty_floor (stitched
+                              boilerplate: passes pairwise checks but is
+                              assembled from corpus fragments)
+      keep                    otherwise
+    A missing signal (no LSH candidate, no embedding row for the doc)
+    is NULL and never triggers its clause — absence of evidence routes
+    toward keep, matching SQL CASE semantics.
+
+    `semantic_path`: 'ivf' (default) blocks the cosine scan with the
+    IVF/SemDeDup cells — the production path at corpus scale, recall
+    soundness-gated by emb_ivf_soundness; 'exact' uses the O(|new|x|ref|)
+    baseline, which keeps the whole gate exactly DuckDB-reproducible
+    (that is what the gated `ingest_gate` entry runs at test scale).
+
+    Embedding ids must live in the document id space (`emb_id_col` values
+    == `id_col` values); docs without an embedding row simply skip the
+    semantic clause.
+
+    Scale shape: every reference-side relation is a pure function of the
+    corpus — banded MinHash signatures, the distinct shingle-hash set,
+    IVF centroids + cell assignments — computed once per ingest epoch and
+    materialized bucketed on its join key (see the notes on
+    minhash_lsh_pairs_against / shingle_novelty / embedding_near_dup_
+    against_ivf); the batch side is small. The three signal aggregates
+    are keyed on the new-batch id, so the final assembly is a few
+    small-side joins; nothing here is O(|new| x |ref|) except the
+    deliberately-exact 'exact' semantic path. Reference lineage: matric
+    gates populations by filter specs before pairing
+    (R/sim_collate.R:246-258); this is that admission-control idea
+    re-targeted at corpus ingest.
+    """
+    from matric_spark.operators.ann import (
+        embedding_near_dup_against,
+        embedding_near_dup_against_ivf,
+    )
+    from pyspark import StorageLevel
+
+    from matric_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        shingle_novelty,
+        shingle_sets,
+    )
+
+    def r6(c: F.Column) -> F.Column:
+        return F.round(c, 6) + F.lit(0.0)
+
+    base = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).isNotNull().alias("_has_text"),
+    )
+    nd = new_docs.filter(F.col(text_col).isNotNull())
+    rd = ref_docs.filter(F.col(text_col).isNotNull())
+    # ONE shingle build per side, shared by the near-dup signatures, the
+    # exact-Jaccard verify, AND the novelty anti-join (each would
+    # otherwise re-explode + re-hash the text)
+    sets_new = shingle_sets(
+        nd, id_col=id_col, text_col=text_col, n=n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sets_ref = shingle_sets(
+        rd, id_col=id_col, text_col=text_col, n=n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tj = (
+        minhash_lsh_pairs_against(
+            nd, rd, threshold=jaccard_candidate,
+            num_hashes=num_hashes, bands=bands, n=n,
+            sets_new=sets_new, sets_ref=sets_ref,
+        )
+        .groupBy(F.col("new_id").alias("doc_id"))
+        .agg(r6(F.max("jaccard")).alias("max_jaccard"))
+    )
+    nv = shingle_novelty(
+        nd, rd, n=n, sets_new=sets_new, sets_ref=sets_ref
+    ).select("doc_id", "novelty")
+    out = base.join(tj, "doc_id", "left").join(nv, "doc_id", "left")
+    if new_emb is not None and ref_emb is not None:
+        if semantic_path == "exact":
+            pairs = embedding_near_dup_against(
+                new_emb, ref_emb, cosine_candidate, id_col=emb_id_col
+            )
+        else:
+            pairs = embedding_near_dup_against_ivf(
+                new_emb, ref_emb, cosine_candidate, id_col=emb_id_col,
+                **(ivf_opts or {}),
+            )
+        ce = pairs.groupBy(F.col("new_id").alias("doc_id")).agg(
+            r6(F.max("cosine")).alias("max_cosine")
+        )
+        out = out.join(ce, "doc_id", "left")
+    else:
+        out = out.withColumn("max_cosine", F.lit(None).cast("double"))
+    decision = (
+        F.when(~F.col("_has_text"), F.lit("quarantine_no_text"))
+        .when(F.col("max_jaccard") >= jaccard_drop, F.lit("drop_text_dup"))
+        .when(F.col("max_cosine") >= cosine_drop, F.lit("drop_semantic_dup"))
+        .when(
+            F.col("novelty") <= novelty_floor,
+            F.lit("quarantine_low_novelty"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        "doc_id",
+        "max_jaccard",
+        "max_cosine",
+        "novelty",
+        decision.alias("decision"),
+    )

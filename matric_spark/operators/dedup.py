@@ -269,6 +269,8 @@ def shingle_novelty(
     new_docs: DataFrame,
     ref_docs: DataFrame,
     n: int = 3,
+    sets_new: DataFrame | None = None,
+    sets_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Per NEW doc, the fraction of its n-gram shingles unseen anywhere
     in the REFERENCE corpus → DataFrame[doc_id, n_shingles, n_novel,
@@ -292,12 +294,20 @@ def shingle_novelty(
     # concat_ws('') fallback would otherwise mint an ''-shingle the
     # DuckDB list comprehension never produces); `sets_new` feeds two
     # consumers (sizes + anti-join), so persist like
-    # minhash_lsh_pairs_against does for the same shape.
-    sets_new = shingle_sets(
-        new_docs.filter(F.col("text").isNotNull()), n=n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # minhash_lsh_pairs_against does for the same shape. Callers that
+    # already hold the (doc_id, h) relations (ingest_gate shares one
+    # shingle build across all its text signals) pass them via
+    # sets_new/sets_ref and own the NULL-text filtering + persist.
+    if sets_new is None:
+        sets_new = shingle_sets(
+            new_docs.filter(F.col("text").isNotNull()), n=n
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     ref_h = (
-        shingle_sets(ref_docs.filter(F.col("text").isNotNull()), n=n)
+        (
+            shingle_sets(ref_docs.filter(F.col("text").isNotNull()), n=n)
+            if sets_ref is None
+            else sets_ref
+        )
         .select("h")
         .distinct()
     )
@@ -548,6 +558,8 @@ def minhash_lsh_pairs_against(
     bands: int = 8,
     n: int = 3,
     seed: int = 42,
+    sets_new: DataFrame | None = None,
+    sets_ref: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-set) near-dup: for each NEW doc, the REFERENCE
     docs with shingle Jaccard >= threshold → [new_id, ref_id, jaccard].
@@ -571,8 +583,16 @@ def minhash_lsh_pairs_against(
     rows = num_hashes // bands
     from pyspark import StorageLevel
 
-    sets_new = shingle_sets(new_docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    sets_ref = shingle_sets(ref_docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    # callers sharing one shingle build across signals (ingest_gate)
+    # pass sets_new/sets_ref and own the persist
+    if sets_new is None:
+        sets_new = shingle_sets(new_docs, n=n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    if sets_ref is None:
+        sets_ref = shingle_sets(ref_docs, n=n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sig_new = minhash_signatures(
         new_docs, num_hashes=num_hashes, n=n, seed=seed, sets=sets_new
     )

@@ -102,3 +102,138 @@ def test_pack_chunks_single_shuffle(docs):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+# ---------------------------------------------------------- ingest gate
+
+
+@pytest.fixture(scope="module")
+def gate_inputs(spark):
+    """Fixture with one new doc per routing outcome.
+
+    ref corpus: two 8-word docs with disjoint vocabularies + embeddings.
+    new batch:
+      10 exact copy of ref 1            -> drop_text_dup
+      11 novel text                     -> keep
+      12 fine text, embedding ~= ref 2  -> drop_semantic_dup
+      13 stitched from ref 1 + ref 2    -> quarantine_low_novelty
+         (8 words of each: 14 shingles, only the 2 seam shingles novel
+         -> novelty 2/14 ~ 0.143; jaccard vs either ref 6/14 ~ 0.43 < 0.5)
+      14 NULL text                      -> quarantine_no_text
+    """
+    a = "aa bb cc dd ee ff gg hh"
+    b = "ii jj kk ll mm nn oo pp"
+    ref_docs = spark.createDataFrame(
+        [(1, a), (2, b)], ["doc_id", "text"]
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (10, a),
+            (11, "totally fresh words never seen in the corpus before now"),
+            (12, "novel text whose embedding collides with reference two"),
+            (13, f"{a} {b}"),
+            (14, None),
+        ],
+        "doc_id long, text string",
+    )
+    ref_emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    new_emb = spark.createDataFrame(
+        [
+            (10, [0.0, 0.0, 1.0]),
+            (11, [0.0, 0.0, -1.0]),
+            (12, [0.05, 0.99, 0.0]),
+            (13, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    return new_docs, ref_docs, new_emb, ref_emb
+
+
+def test_ingest_gate_routing(gate_inputs):
+    from matric_spark.operators.corpus import ingest_gate
+
+    new_docs, ref_docs, new_emb, ref_emb = gate_inputs
+    rows = {
+        r.doc_id: r
+        for r in ingest_gate(
+            new_docs, ref_docs, new_emb, ref_emb, semantic_path="exact"
+        ).collect()
+    }
+    assert set(rows) == {10, 11, 12, 13, 14}  # one verdict per new doc
+    assert rows[10].decision == "drop_text_dup"
+    assert rows[10].max_jaccard == pytest.approx(1.0)
+    assert rows[10].novelty == pytest.approx(0.0)
+    assert rows[11].decision == "keep"
+    assert rows[11].max_jaccard is None  # no candidate: signal absent
+    assert rows[11].novelty == pytest.approx(1.0)
+    assert rows[12].decision == "drop_semantic_dup"
+    assert rows[12].max_cosine >= 0.45
+    assert rows[13].decision == "quarantine_low_novelty"
+    assert rows[13].novelty == pytest.approx(round(2 / 14, 6))
+    # stitched doc is NOT a textual near-dup of either source
+    assert rows[13].max_jaccard is None or rows[13].max_jaccard < 0.5
+    assert rows[14].decision == "quarantine_no_text"
+    assert rows[14].max_jaccard is None and rows[14].novelty is None
+
+
+def test_ingest_gate_text_dup_precedes_semantic(spark, gate_inputs):
+    """A doc that is BOTH a text dup and a semantic dup routes by the
+    first clause (text), pinning the CASE precedence the oracle mirrors."""
+    from matric_spark.operators.corpus import ingest_gate
+
+    _, ref_docs, _, ref_emb = gate_inputs
+    new_docs = spark.createDataFrame(
+        [(20, "aa bb cc dd ee ff gg hh")], ["doc_id", "text"]
+    )
+    new_emb = spark.createDataFrame(
+        [(20, [0.999, 0.01, 0.0])], "vec_id long, embedding array<float>"
+    )
+    (row,) = ingest_gate(
+        new_docs, ref_docs, new_emb, ref_emb, semantic_path="exact"
+    ).collect()
+    assert row.max_cosine is not None and row.max_cosine >= 0.45
+    assert row.decision == "drop_text_dup"
+
+
+def test_ingest_gate_without_embeddings(gate_inputs):
+    """Text-only corpora: the semantic column exists (stable schema) but
+    is NULL and never routes."""
+    from matric_spark.operators.corpus import ingest_gate
+
+    new_docs, ref_docs, _, _ = gate_inputs
+    rows = {r.doc_id: r for r in ingest_gate(new_docs, ref_docs).collect()}
+    assert rows[12].decision == "keep"
+    assert all(r.max_cosine is None for r in rows.values())
+
+
+def test_ingest_gate_ivf_path_sound(gate_inputs):
+    """The production IVF semantic path may MISS pairs (recall) but every
+    decision it makes must be consistent with the exact path: same rows,
+    and any doc the IVF path drops semantically is dropped by exact too."""
+    from matric_spark.operators.corpus import ingest_gate
+
+    new_docs, ref_docs, new_emb, ref_emb = gate_inputs
+    exact = {
+        r.doc_id: r
+        for r in ingest_gate(
+            new_docs, ref_docs, new_emb, ref_emb, semantic_path="exact"
+        ).collect()
+    }
+    ivf = {
+        r.doc_id: r
+        for r in ingest_gate(
+            new_docs, ref_docs, new_emb, ref_emb,
+            semantic_path="ivf",
+            ivf_opts={"n_centroids": 2, "nprobe": 2, "iters": 2},
+        ).collect()
+    }
+    assert set(ivf) == set(exact)
+    for did, r in ivf.items():
+        if r.decision == "drop_semantic_dup":
+            assert exact[did].decision == "drop_semantic_dup"
+        if r.max_cosine is not None:
+            # IVF cosines are exact (verify joins real vectors back)
+            assert r.max_cosine == pytest.approx(exact[did].max_cosine)
