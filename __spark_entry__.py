@@ -663,27 +663,21 @@ def _events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-_TAPES_CACHE: dict[str, str] = {}
-
-
 def _tapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation tapes (conv_id, tape), materialized ONCE per
-    (process, sf_dir) — same pattern as _level10: the groupBy +
-    sort_array serialization of the whole transcript table is the
-    shared expensive prefix of conv_near_dup and conv_dup_spans; first
-    caller computes and writes parquet, later callers re-read, and each
-    queries() entry stays self-contained for the driver."""
-    path = _TAPES_CACHE.get(sf_dir)
-    if path is None:
-        import tempfile
+    """Conversation tapes (conv_id, tape), built INLINE per query.
 
-        from matric_spark.checks.sequence import conversation_tapes
+    Deliberately NOT materialized to parquet (a round-2 tapes cache was
+    measured and removed in round 4): the tape groupBy itself costs ~1 s
+    at sf0.1 — conv_fingerprint runs it end-to-end in 1.1 s — while the
+    parquet round-trip of the multi-KB tape/token payload costs MORE
+    than recomputing it (near_dup 20.5 s reading a toks-array cache vs
+    16.6 s inline; dup_spans 14.9 s vs 11.2 s). Unlike _level10 (9 small
+    rows after heavy aggregation), the tape relation is as wide as its
+    input, so caching trades a cheap shuffle for expensive I/O. Each
+    queries() entry stays self-contained for the driver for free."""
+    from matric_spark.checks.sequence import conversation_tapes
 
-        out = conversation_tapes(transcript_df(spark, sf_dir))
-        path = tempfile.mkdtemp(prefix="graft_tapes_") + "/tapes.parquet"
-        out.write.parquet(path)
-        _TAPES_CACHE[sf_dir] = path
-    return spark.read.parquet(path)
+    return conversation_tapes(transcript_df(spark, sf_dir))
 
 
 _LEVEL10_CACHE: dict[str, str] = {}

@@ -120,6 +120,15 @@ def cross_group_duplicates(
 # ------------------------------------------------------ shingle sets
 
 
+def _staged_toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _toks) staging shared by the shingle builders: the
+    normalize+split runs once per row, not once per shingle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(text_col), " ").alias("_toks"),
+    )
+
+
 def shingle_sets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -133,38 +142,36 @@ def shingle_sets(
     (functions/hashing.shingles_of)."""
     from matric_spark.functions.hashing import shingles_of
 
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalized_text(text_col), " ").alias("_toks"),
-    )
+    staged = _staged_toks(docs, id_col, text_col)
     return staged.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_of(F.col("_toks"), n))).alias("sh"),
     ).select("doc_id", (md5_long(F.col("sh")) % HASH_PRIME).alias("h"))
 
 
-def _jaccard_for_pairs(pairs: DataFrame, sets: DataFrame) -> DataFrame:
-    """Exact Jaccard for a candidate pair list given (doc_id, h) sets."""
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sets.select(F.col("doc_id").alias("id1"), "h")
-    s2 = sets.select(F.col("doc_id").alias("id2"), "h")
-    shared = (
-        pairs.join(s1, "id1")
-        .join(s2, ["id2", "h"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    return (
-        shared.join(sizes.withColumnsRenamed({"doc_id": "id1", "n": "n1"}), "id1")
-        .join(sizes.withColumnsRenamed({"doc_id": "id2", "n": "n2"}), "id2")
-        .select(
-            "id1",
-            "id2",
-            (
-                F.col("shared")
-                / (F.col("n1") + F.col("n2") - F.col("shared"))
-            ).alias("jaccard"),
-        )
+def shingle_hash_arrays(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc ARRAY of distinct shingle hashes -> DataFrame[doc_id, harr].
+
+    Identical hash values to `shingle_sets` (explode(harr) == the exploded
+    relation), but kept row-per-doc so a persist caches ~|docs| compact
+    array rows instead of ~|shingles| exploded rows — at sf0.1 conversation
+    tapes that is 147k arrays vs 40M rows, and re-reading the cache for the
+    signature build and the Jaccard verify costs ~4x less. Narrow (no
+    shuffle): the whole relation is one projection over the scan."""
+    from matric_spark.functions.hashing import shingles_of
+
+    staged = _staged_toks(docs, id_col, text_col)
+    return staged.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(shingles_of(F.col("_toks"), n)),
+            lambda s: md5_long(s) % HASH_PRIME,
+        ).alias("harr"),
     )
 
 
@@ -493,6 +500,31 @@ def minhash_signatures(
     return sets.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_from_arrays(
+    harr_df: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """Broder signatures from a (doc_id, harr) shingle-hash-array relation
+    — value-identical to `minhash_signatures` (min over the same set per
+    permutation; differential-tested), but NARROW: each mh_i is an
+    array_min over a per-row transform, so there is no explode and no
+    aggregation shuffle at all. 125 hashes over 40M shingles: 2.5 s vs
+    6.5 s for the exploded groupBy path at sf0.1."""
+    params = minhash_params(num_hashes, seed=seed)
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % HASH_PRIME
+
+    return harr_df.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("harr"), _perm(a, b))).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.1,
@@ -506,14 +538,28 @@ def minhash_lsh_pairs(
     bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j^4)^8; at
     j=0.5 that's 0.46, at j=0.9 it's 1.0 — tuned for near-dup recall.
     Pair shuffle is keyed on (band_idx, band_hash): uniform tiny buckets.
+
+    The shingle relation is persisted in ARRAY form (one row per doc) and
+    shared by the signature build and the verification join; signatures
+    come from per-row array transforms (no explode, no agg shuffle), and
+    the verify joins each candidate pair to its two cached arrays and
+    takes size(array_intersect(h1, h2)) JVM-side — value-identical to
+    counting shared exploded hashes (arrays are distinct by
+    construction), but with no 40M-row explode and no count shuffle:
+    13.8 s vs 16.6 s end-to-end on 147k conversation tapes at sf0.1.
+    Per-candidate memory is two shingle arrays (~8 B × tokens/doc);
+    candidates are near-dup-banded, so no hot row fans out. The `i >= 1`
+    filter reproduces the exploded path's inner-join semantics (a
+    zero-overlap band collision emits nothing, not jaccard=0) so any
+    threshold, including 0, gives identical output.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     from pyspark import StorageLevel
 
     # shared by the signature build AND the verification join
-    sets = shingle_sets(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, seed=seed, sets=sets)
+    harr = shingle_hash_arrays(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures_from_arrays(harr, num_hashes=num_hashes, seed=seed)
     banded = _banded(sig, rows, bands)
     cand = (
         banded.alias("x")
@@ -524,8 +570,27 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _jaccard_for_pairs(cand, sets).filter(
-        F.col("jaccard") >= threshold
+    h1 = harr.select(F.col("doc_id").alias("id1"), F.col("harr").alias("h1"))
+    h2 = harr.select(F.col("doc_id").alias("id2"), F.col("harr").alias("h2"))
+    return (
+        cand.join(h1, "id1")
+        .join(h2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect("h1", "h2")).cast("long").alias("i"),
+            F.size("h1").cast("long").alias("n1"),
+            F.size("h2").cast("long").alias("n2"),
+        )
+        .filter(F.col("i") >= 1)
+        .select(
+            "id1",
+            "id2",
+            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -62,6 +62,43 @@ def test_minhash_lsh_finds_near_dups(spark, tiny_docs):
     assert lsh == exact and (0, 1) in lsh
 
 
+def test_minhash_array_signatures_match_exploded(spark, tiny_docs):
+    """Differential: the narrow array-transform signature builder must be
+    value-identical to the exploded groupBy path, and the
+    array_intersect verify must reproduce the exploded shared-hash count
+    exactly (jaccard values equal to the set-algebra ground truth)."""
+    from matric_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        minhash_signatures_from_arrays,
+        shingle_hash_arrays,
+        shingle_sets,
+    )
+
+    harr = shingle_hash_arrays(tiny_docs, n=3)
+    a = {
+        r.doc_id: [r[f"mh_{i}"] for i in range(32)]
+        for r in minhash_signatures_from_arrays(harr, 32).collect()
+    }
+    b = {
+        r.doc_id: [r[f"mh_{i}"] for i in range(32)]
+        for r in minhash_signatures(tiny_docs, 32).collect()
+    }
+    assert a == b and len(a) == 5
+
+    sets = {}
+    for r in shingle_sets(tiny_docs, n=3).collect():
+        sets.setdefault(r.doc_id, set()).add(r.h)
+    lsh = {
+        (r.id1, r.id2): r.jaccard
+        for r in minhash_lsh_pairs(tiny_docs, 0.5).collect()
+    }
+    assert (0, 4) in lsh
+    for (i, j), jac in lsh.items():
+        inter = len(sets[i] & sets[j])
+        assert jac == inter / len(sets[i] | sets[j]) and inter >= 1
+
+
 def test_minhash_lsh_against_cross_set(spark, tiny_docs):
     """Incremental dedup: new batch = docs {1, 2, 3}, corpus = {0, 4}.
     1 is an exact dup of 0/4 (j=1.0), 2 a near-dup of both (8/9), 3
