@@ -727,6 +727,35 @@ def _q_sim_strata(kernel: str) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def q_sim_pearson_complete_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson with R's use="pairwise.complete.obs" NA semantics
+    (stats::cor, the reference's eager path — R/sim_calculate.R:122-124)
+    as a fully gated query: deterministic NaN injection — coordinate i
+    (1-based) of vector `id` is masked when (id*131 + i) % 7 == 0, ~14%
+    of coordinates — then per-pair correlation restricted to each pair's
+    common non-NaN support (sparse.pearson_pairwise_complete_rows). The
+    DuckDB twin mirrors the mask arithmetic and the kernel's float op
+    order exactly: per-pair means over the common support, centered
+    sums, num / sqrt(va·vb), NULL when n<2 or zero variance."""
+    from matric_spark.operators.pairs import sim_calculate
+
+    nan = F.lit(float("nan"))
+    masked = _population(spark, sf_dir).withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                (F.col("id") * 131 + i + 1) % 7 == 0, nan
+            ).otherwise(x),
+        ),
+    )
+    out = sim_calculate(
+        masked, kernel="pearson_complete", vec_col="embedding",
+        strata=["label"],
+    )
+    return _round6(out, ["sim"])
+
+
 def q_sim_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(_collated_sims(spark, sf_dir), ["sim"])
 
@@ -1608,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_euclidean_strata": _q_sim_strata("euclidean"),
         "sim_spearman_strata": _q_sim_strata("spearman"),
         "sim_kendall_strata": _q_sim_strata("kendall"),
+        "sim_pearson_complete_strata": q_sim_pearson_complete_strata,
         "sim_collate": q_sim_collate,
         "sim_collate_alldiff": q_sim_collate_alldiff,
         "sim_metrics_level10": q_sim_metrics_level10,
@@ -1643,7 +1673,9 @@ _MEDIUM_QUERIES = {
     "ref_role_violations", "ref_tool_violations", "role_transitions",
     "seq_out_of_order", "signif_monotonic", "sim_collate",
     "sim_collate_alldiff", "sim_cosine_strata", "sim_euclidean_strata",
-    "sim_pearson_strata", "sim_signif", "sim_spearman_strata",
+    "sim_pearson_complete_strata",
+    "sim_pearson_complete_strata", "sim_pearson_strata", "sim_signif",
+    "sim_spearman_strata",
     "sketch_bounds", "sketch_stats", "text_parity", "tfidf_topk",
     "uniqueness_keys", "verdicts", "verdicts_extended", "vocab_drift",
 }
@@ -2287,6 +2319,7 @@ WHERE 1 = 0"""
     sql["sim_euclidean_strata"] = dk.sim_strata_sql("euclidean")
     sql["sim_spearman_strata"] = dk.sim_strata_sql("spearman")
     sql["sim_kendall_strata"] = dk.sim_strata_sql("kendall")
+    sql["sim_pearson_complete_strata"] = dk.sim_pearson_complete_sql()
     sql["sim_collate"] = dk.sim_collate_sql()
     sql["sim_collate_alldiff"] = dk.sim_collate_sql(non_rep_alldiff_gene=True)
     sql["sim_metrics_level10"] = dk.sim_metrics_level10_sql()

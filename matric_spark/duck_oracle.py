@@ -469,6 +469,44 @@ FROM terms GROUP BY id1, id2"""
     raise ValueError(kernel)
 
 
+def sim_pearson_complete_sql() -> str:
+    """pairwise.complete.obs pearson with deterministic NaN injection —
+    mirrors __spark_entry__.q_sim_pearson_complete_strata: coordinate i
+    (1-based) of vector `id` is NULLed when (id*131 + i) % 7 == 0, then
+    each pair correlates over its common non-NULL support only, with the
+    numpy kernel's float op order (sparse.pearson_pairwise_complete_rows:
+    per-pair mean = masked-sum/n, centered sums, num / sqrt(va·vb); NULL
+    when n < 2 or zero variance on the support). Pairs enumerate from
+    pop directly (LEFT JOIN) so a hypothetical zero-overlap pair still
+    emits its NULL row, matching the Spark side's pair-first shape."""
+    return f"""
+WITH {_POP},
+ex AS (SELECT id, label, unnest(v) AS x, generate_subscripts(v, 1) AS i
+       FROM pop),
+mx AS (SELECT id, label, i,
+              CASE WHEN (id * 131 + i) % 7 = 0 THEN NULL ELSE x END AS x
+       FROM ex),
+cp AS (SELECT a.id AS id1, b.id AS id2, a.x AS xa, b.x AS xb
+       FROM mx a JOIN mx b
+         ON a.label = b.label AND a.i = b.i AND a.id <> b.id
+       WHERE a.x IS NOT NULL AND b.x IS NOT NULL),
+m AS (SELECT id1, id2, count(*) AS n,
+             sum(xa) / count(*) AS ma, sum(xb) / count(*) AS mb
+      FROM cp GROUP BY 1, 2),
+ag AS (SELECT c.id1, c.id2, any_value(m.n) AS n,
+              sum((c.xa - m.ma) * (c.xb - m.mb)) AS num,
+              sum((c.xa - m.ma) * (c.xa - m.ma)) AS va,
+              sum((c.xb - m.mb) * (c.xb - m.mb)) AS vb
+       FROM cp c JOIN m ON c.id1 = m.id1 AND c.id2 = m.id2
+       GROUP BY 1, 2),
+pr AS (SELECT a.id AS id1, b.id AS id2
+       FROM pop a JOIN pop b ON a.label = b.label AND a.id <> b.id)
+SELECT pr.id1, pr.id2,
+       (round(CASE WHEN ag.n >= 2 AND ag.va * ag.vb > 0
+                   THEN ag.num / sqrt(ag.va * ag.vb) END, 6) + 0) AS sim
+FROM pr LEFT JOIN ag ON pr.id1 = ag.id1 AND pr.id2 = ag.id2"""
+
+
 def sim_collate_sql(non_rep_alldiff_gene: bool = False) -> str:
     """Typed collated pairs with cosine sim. With `non_rep_alldiff_gene`
     the non_rep arm additionally requires gene to differ — the
