@@ -3,16 +3,32 @@ violation rows — the graft's analog of matric's collate-then-metrics
 pipeline (typed subsets unioned with a discriminator column,
 R/sim_collate.R:480-504; per-group metric rows, R/sim_metrics.R:154-304).
 
-Physical plan budget per run (the 100 TB story):
+Physical plan budget per run (the 100 TB story) — THREE scans, of which
+only two read the wide text column:
   1 scan  — fused conditional-aggregation pass: ALL scalar-predicate
             checks (role domain, tool domain, null text) + row counts per
             partition ride one groupBy(partition) with map-side combine.
             IN-list domains stay JVM-side (no join, no shuffle of the
             big table beyond the partial-agg shuffle).
-  1 scan  — uniqueness (salted two-phase groupBy on the composite key).
-  1 scan  — sequence window (per-conv, bounded conversations).
-  1 scan  — drift value-counts; KS and PSI both derive from that single
-            counts sketch (PSI re-buckets the counts, no second scan).
+  1 scan  — fused conv-keyed window pass (conv_keyed_metrics): the
+            sequence check's Window.partitionBy(conv_id) exchange
+            already moves (conv_id, turn_idx, ts, part), and uniqueness
+            on the (conv_id, turn_idx) key needs only clustering by a
+            prefix of that — hashpartitioning(conv_id) satisfies
+            ClusteredDistribution(conv_id, turn_idx) and the sequence
+            sort (conv_id, turn_idx, ts) covers the key window's
+            (conv_id, turn_idx) — so BOTH checks ride ONE exchange and
+            ONE sort (plan-pinned in tests/test_plans.py). Text never
+            shuffles here. Standalone duplicate_row_counts (hash-first,
+            8-byte shuffle) remains the right shape when uniqueness runs
+            alone; inside the suite the window exchange is already paid.
+  1 scan  — drift value-counts, PERSISTED: KS and PSI consume the
+            (p, v, c) sketch through ~6 sub-relations (ECDF grid,
+            re-bucketing), and exchange-reuse does NOT deduplicate them
+            (column pruning canonicalizes the branches differently —
+            measured), so an unpersisted sketch re-scans the table once
+            per consumer. Persisting pins the fan-out to the sketch,
+            whose size is |partitions| x |distinct values|, not |rows|.
 Violation ROWS are materialized lazily on demand (separate filters that
 each push down to the scan), optionally capped.
 """
@@ -21,16 +37,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from matric_spark.checks.drift import ks_by_partition, psi_by_partition, _counts
 from matric_spark.checks.referential import domain_violations
 from matric_spark.checks.sequence import out_of_order_turns
-from matric_spark.checks.uniqueness import (
-    duplicate_row_counts,
-    uniqueness_violations,
-)
+from matric_spark.checks.uniqueness import uniqueness_violations
 from matric_spark.schema import DEFAULT_ROLE_DOMAIN, DEFAULT_TOOL_DOMAIN
 
 VERDICT_COLUMNS = ["part", "check_id", "metric", "status"]
@@ -61,6 +74,59 @@ def scalar_check_metrics(df: DataFrame, cfg: SuiteConfig) -> DataFrame:
     )
 
 
+def conv_keyed_metrics(df: DataFrame, cfg: SuiteConfig) -> DataFrame:
+    """The suite's fused conv-keyed pass: sequence + uniqueness metrics
+    from ONE exchange -> DataFrame[part, seq_order, uniqueness] (every
+    partition present; zero-violation partitions carry 0).
+
+    - seq_order: rows whose ts is strictly below the max ts of any
+      earlier turn — the same shared preceding_max_ts_window definition
+      as out_of_order_turns, so the two can never drift.
+    - uniqueness: rows participating in duplicated composite keys,
+      null-keyed rows excluded — the same semantics as
+      duplicate_row_counts (the count window runs over the REAL key, so
+      there is no hash-collision risk to void).
+
+    Physical shape (see module docstring): the key-count window needs
+    only ClusteredDistribution(*key), which the sequence window's
+    hashpartitioning(conv_id) satisfies (key[0] is conv_id — asserted),
+    and the sequence sort (conv_id, turn_idx, ts) covers the key
+    window's (conv_id, turn_idx): one exchange, one sort, two window
+    frames, then a tiny per-part aggregate. For an exotic non-conv-
+    prefixed key Spark would insert a second exchange — still correct,
+    just not fused — so the assert keeps the contract visible.
+    """
+    assert cfg.key[0] == "conv_id", "fused pass assumes conv-prefixed key"
+    p = cfg.partition_col
+    from matric_spark.checks.sequence import preceding_max_ts_window
+
+    cols = list(dict.fromkeys(["conv_id", "turn_idx", "ts", p, *cfg.key]))
+    nn = F.lit(True)
+    for k in cfg.key:
+        nn = nn & F.col(k).isNotNull()
+    enriched = (
+        df.select(*cols)
+        .withColumn(
+            "_prev_max_ts", F.max("ts").over(preceding_max_ts_window())
+        )
+        .withColumn(
+            "_k", F.count(F.lit(1)).over(Window.partitionBy(*cfg.key))
+        )
+    )
+    # coalesce: a partition whose every ts comparison is NULL (all rows
+    # conversation-first, _prev_max_ts NULL) must report 0, matching the
+    # previous absent-row + fillna(0) shape bit for bit
+    return enriched.groupBy(F.col(p).alias("part")).agg(
+        F.coalesce(
+            F.sum((F.col("ts") < F.col("_prev_max_ts")).cast("long")),
+            F.lit(0),
+        ).alias("seq_order"),
+        F.coalesce(
+            F.sum((nn & (F.col("_k") > 1)).cast("long")), F.lit(0)
+        ).alias("uniqueness"),
+    )
+
+
 def run_verdicts(df: DataFrame, cfg: SuiteConfig | None = None) -> DataFrame:
     """The flagship query: per-(partition, check) verdict table
     (part, check_id, metric, status), every partition present for every
@@ -70,21 +136,18 @@ def run_verdicts(df: DataFrame, cfg: SuiteConfig | None = None) -> DataFrame:
 
     scalar = scalar_check_metrics(df, cfg)
 
-    # uniqueness: rows participating in globally-duplicated keys, per
-    # part — the join-free double-window formulation (projects to
-    # (key, partition) internally; see duplicate_row_counts docstring
-    # for the measured comparison vs the semi-join path).
-    uniq = duplicate_row_counts(df, cfg.key, p).withColumnRenamed(
-        "n", "uniqueness"
-    )
+    # sequence + uniqueness: one conv-keyed exchange (module docstring)
+    convm = conv_keyed_metrics(df, cfg)
 
-    # sequence: out-of-order turns per partition
-    seq = out_of_order_turns(df).groupBy(F.col(p).alias("part")).agg(
-        F.count(F.lit(1)).alias("seq_order")
-    )
+    # drift: ONE persisted counts sketch feeds both KS and PSI — the
+    # persist is load-bearing: the ECDF/re-bucket consumers otherwise
+    # each re-derive the sketch from a fresh table scan (exchange reuse
+    # does not fire across their differently-pruned branches)
+    from pyspark import StorageLevel
 
-    # drift: one counts sketch feeds both KS and PSI
-    counts = _counts(df, p, F.length("text"))
+    counts = _counts(df, p, F.length("text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ks = ks_by_partition(df, p, F.length("text"), precomputed=counts).select(
         F.col(p).alias("part"), "ks_d"
     )
@@ -93,8 +156,7 @@ def run_verdicts(df: DataFrame, cfg: SuiteConfig | None = None) -> DataFrame:
     )
 
     wide = (
-        scalar.join(uniq, "part", "left")
-        .join(seq, "part", "left")
+        scalar.join(convm, "part", "left")
         .join(ks, "part", "left")
         .join(psi, "part", "left")
         .fillna(0, subset=["uniqueness", "seq_order"])

@@ -103,6 +103,24 @@ def test_within_group_pairs_is_equi_join_not_cartesian(spark):
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
 
 
+def test_conv_keyed_metrics_one_exchange_one_sort(spark, transcripts_parquet):
+    """The fused sequence+uniqueness pass must ride ONE conv_id exchange
+    and ONE sort: hashpartitioning(conv_id) satisfies the key window's
+    ClusteredDistribution(conv_id, turn_idx) and the sequence sort
+    (conv_id, turn_idx, ts) covers its (conv_id, turn_idx) ordering —
+    if either stops holding, a second exchange/sort of the full table
+    appears and this pins the regression. Text must never enter the
+    exchange (it is not selected at all)."""
+    from matric_spark.checks.suite import SuiteConfig, conv_keyed_metrics
+
+    t = spark.read.parquet(transcripts_parquet)
+    p = plan(conv_keyed_metrics(t, SuiteConfig()))
+    assert p.count("hashpartitioning(conv_id") == 1
+    assert p.count("Sort (") == 1  # tree node: the (conv,turn,ts) sort
+    assert p.count("Window (") == 2  # tree nodes: prev-max + key-count
+    assert "text" not in p  # the wide column never enters this pass
+
+
 def test_scalar_suite_is_single_aggregate(spark, transcripts_parquet):
     """All scalar checks fuse into ONE partial+final aggregate pass."""
     from matric_spark.checks.suite import SuiteConfig, scalar_check_metrics
