@@ -1555,7 +1555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_conformance": q_schema_conformance,
         "heavy_hitters": q_heavy_hitters,
         "partition_volume": q_partition_volume,
-        "volume_trend": q_volume_trend,
         "emb_integrity": q_emb_integrity,
         "text_parity": q_text_parity,
         "verdicts": q_verdicts,
@@ -1594,8 +1593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_canonical": q_cluster_canonical,
         "emb_dedup_clusters": q_emb_dedup_clusters,
         "doc_split_assign": q_doc_split_assign,
-        "cms_topk_bounds": q_cms_topk_bounds,
+        # drift + sim_suite representatives pulled into the 50-entry
+        # prefix so a prefix-sampling driver touches every family
+        "drift_ks": q_drift_ks,
+        "sim_cosine_strata": _q_sim_strata("cosine"),
         "incremental_verdicts_extended": q_incremental_verdicts_extended,
+        "cms_topk_bounds": q_cms_topk_bounds,
         "ref_tool_violations": q_ref_tool_violations,
         "events_asof_fwd": q_events_asof_fwd,
         "events_emd": q_events_emd,
@@ -1606,7 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_impact": q_dedup_impact,
         "doc_dup_spans": q_doc_dup_spans,
         "incremental_verdicts": q_incremental_verdicts,
-        "drift_ks": q_drift_ks,
+        "volume_trend": q_volume_trend,
         "drift_psi": q_drift_psi,
         "drift_emd": q_drift_emd,
         "partition_spillover": q_partition_spillover,
@@ -1632,7 +1635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_ivf_soundness": q_ann_ivf_soundness,
-        "sim_cosine_strata": _q_sim_strata("cosine"),
         "sim_pearson_strata": _q_sim_strata("pearson"),
         "sim_euclidean_strata": _q_sim_strata("euclidean"),
         "sim_spearman_strata": _q_sim_strata("spearman"),

@@ -81,6 +81,10 @@ for _ in range(runs):
     run_verdicts(t, SuiteConfig()).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
+    # the suite persists its drift sketch; release it so every rep is a
+    # full self-contained pass (a cache-hit rep would skip the sketch
+    # scan and contaminate best-kept)
+    spark.catalog.clearCache()
 print(json.dumps({"cpus": cpus, "n_turns": n_turns, "sec": round(best, 2),
                   "turns_per_sec": round(n_turns / best, 1)}))
 """
