@@ -853,6 +853,44 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(out, ["metric"])
 
 
+def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion vs the SAME oracle as `verdicts`: the
+    transcript table is staged as conversation-complete parquet files
+    (the documented precondition for sequence checks under
+    micro-batching — streaming/validate.py docstring), consumed as a
+    file-source stream one file per micro-batch (Trigger.AvailableNow),
+    state-appended per batch through the shared StateStore layout, and
+    assembled with the cross-batch folds of `stream_verdicts` — the
+    result must reproduce the one-shot batch verdict table
+    byte-identically. This gates the streaming path against DuckDB
+    end-to-end, upgrading the pytest differential (streaming ≡ batch,
+    tests/test_streaming.py) to a value-hash oracle entry."""
+    import tempfile
+
+    from matric_spark.streaming.validate import (
+        stream_verdicts,
+        validated_stream,
+    )
+
+    t = transcript_df(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="graft_stream_")
+    incoming = f"{base}/incoming"
+    # conversation-complete files: same conv_id -> same crc32 -> same
+    # output partition, so no conversation spans a micro-batch boundary.
+    # 16 files keeps the staging write parallel; 8 files per trigger
+    # folds them into two genuine micro-batches.
+    t.repartition(16, F.crc32(F.col("conv_id"))).write.parquet(incoming)
+    q = validated_stream(
+        spark,
+        incoming,
+        state_dir=f"{base}/state",
+        checkpoint_dir=f"{base}/ckpt",
+        max_files_per_trigger=8,
+    )
+    q.awaitTermination(300)
+    return _round6(stream_verdicts(spark, f"{base}/state"), ["metric"])
+
+
 def q_incremental_verdicts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable EXTENDED suite vs the SAME oracle as verdicts_extended:
     crash after half the partitions, resume, and the assembled table —
@@ -1572,7 +1610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_drift": q_events_drift,
         "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
+        # streaming joins the prefix here (events stays covered by the
+        # seven entries above; events_retention moved to the tail)
+        "streaming_verdicts": q_streaming_verdicts,
         "conv_fingerprint": q_conv_fingerprint,
         "conv_token_stats": q_conv_token_stats,
         "conv_verdicts": q_conv_verdicts,
@@ -1598,7 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "sim_cosine_strata": _q_sim_strata("cosine"),
         "incremental_verdicts_extended": q_incremental_verdicts_extended,
-        "cms_topk_bounds": q_cms_topk_bounds,
+        "events_retention": q_events_retention,
         "ref_tool_violations": q_ref_tool_violations,
         "events_asof_fwd": q_events_asof_fwd,
         "events_emd": q_events_emd,
@@ -1609,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_impact": q_dedup_impact,
         "doc_dup_spans": q_doc_dup_spans,
         "incremental_verdicts": q_incremental_verdicts,
+        "cms_topk_bounds": q_cms_topk_bounds,
         "volume_trend": q_volume_trend,
         "drift_psi": q_drift_psi,
         "drift_emd": q_drift_emd,
@@ -1661,6 +1702,7 @@ _EXPENSIVE_QUERIES = {
     "emb_ivf_soundness", "emb_near_dup_ivf", "emb_near_dup_lsh",
     "incremental_verdicts", "incremental_verdicts_extended",
     "sim_kendall_strata", "sim_metrics_level10", "sim_metrics_level21",
+    "streaming_verdicts",
 }
 _MEDIUM_QUERIES = {
     "boilerplate_turns", "cluster_canonical", "cluster_stats", "colstats",
@@ -1713,7 +1755,7 @@ def queries_manifest() -> dict[str, dict[str, str]]:
         "partition": "column_stats", "volume": "column_stats",
         "quarantine": "verdict_suite", "fd": "constraints",
         "rule": "constraints", "fk": "referential", "robust": "column_stats",
-        "ingest": "corpus_curation",
+        "ingest": "corpus_curation", "streaming": "streaming",
     }
     sql_keys = set(oracle_sql())
     out: dict[str, dict[str, str]] = {}
@@ -2340,6 +2382,9 @@ FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
     # the resumed incremental run must equal the one-shot batch suite
     sql["incremental_verdicts"] = sql["verdicts"]
     sql["incremental_verdicts_extended"] = sql["verdicts_extended"]
+    # ... and so must the micro-batched streaming run (same assembled
+    # verdict table, cross-batch state folds notwithstanding)
+    sql["streaming_verdicts"] = sql["verdicts"]
 
     sql["events_stats"] = """
 SELECT event_type,

@@ -76,6 +76,7 @@ def validated_stream(
     checkpoint_dir: str,
     fingerprint: str = "stream",
     cfg: SuiteConfig | None = None,
+    max_files_per_trigger: int = 1,
 ):
     """Start a foreachBatch query appending per-micro-batch check state.
 
@@ -113,12 +114,17 @@ def validated_stream(
             .groupBy(F.col(p).alias("part"))
             .agg(F.count(F.lit(1)).alias("seq_order"))
         )
+        # every per-batch relation is partitions-scale tiny (local/
+        # sketch/log) or ids+counts (key_index) — coalesce the appends
+        # so the state dir holds a handful of files per batch instead
+        # of shuffle.partitions-many KB-sized ones (a micro-batched run
+        # otherwise reads hundreds of tiny parquet files at assembly)
         local = (
             scalar.join(seq, "part", "left")
             .fillna(0, subset=["seq_order"])
             .withColumn("run_id", F.lit(run_id))
         )
-        store._append(local, "local", fingerprint)
+        store._append(local.coalesce(1), "local", fingerprint)
 
         # run_id = batch id: stream_verdicts dedups appends on
         # (run_id, natural key) — a foreachBatch RETRY (same batch id)
@@ -130,21 +136,21 @@ def validated_stream(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .withColumn("run_id", F.lit(run_id))
         )
-        store._append(key_index, "key_index", fingerprint)
+        store._append(key_index.coalesce(4), "key_index", fingerprint)
 
         sketch = _counts(batch, p, F.length("text")).withColumn(
             "run_id", F.lit(run_id)
         )
-        store._append(sketch, "sketch", fingerprint)
+        store._append(sketch.coalesce(1), "sketch", fingerprint)
 
         log = (
             batch.groupBy(F.col(p).alias("part"))
             .agg(F.count(F.lit(1)).alias("n_rows"))
             .select("part", F.lit(run_id).alias("run_id"), "n_rows")
         )
-        store._append(log, "log", fingerprint)
+        store._append(log.coalesce(1), "log", fingerprint)
 
-    src = stream_transcripts(spark, input_dir)
+    src = stream_transcripts(spark, input_dir, max_files_per_trigger)
     return (
         src.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

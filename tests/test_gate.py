@@ -95,3 +95,23 @@ def test_oracle_sql_has_no_unnormalized_final_round():
                 bad.append(call[:60])
             i = j
     assert not bad, f"final round(...,6) without + 0 normalizer: {bad}"
+
+
+def test_manifest_prefix_covers_every_family():
+    """A prefix-sampling driver (50 of N queries, CORRECTNESS_r03 ran
+    exactly that) must touch every operator family: the first 50
+    queries() entries must collectively carry every family that appears
+    anywhere in the manifest, and every entry must resolve to a real
+    family (no 'other' fallbacks from an unmapped name prefix)."""
+    sys.path.insert(0, _REPO)
+    import __spark_entry__ as e
+
+    man = e.queries_manifest()
+    names = list(e.queries())
+    assert len(names) == len(man)
+    assert all(m["family"] != "other" for m in man.values()), [
+        n for n, m in man.items() if m["family"] == "other"
+    ]
+    all_fams = {m["family"] for m in man.values()}
+    prefix_fams = {man[n]["family"] for n in names[:50]}
+    assert all_fams == prefix_fams, all_fams - prefix_fams
