@@ -891,6 +891,57 @@ def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(stream_verdicts(spark, f"{base}/state"), ["metric"])
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (applyInPandasWithState gap
+    sessionizer) gated end-to-end: events staged as time-ordered files
+    (streaming/sessionize.stage_time_ordered — the no-late-data
+    precondition), replayed one file per micro-batch, sessionized with
+    per-user open-session state + EventTimeTimeout, sunk to parquet.
+
+    The emitted set is a pure function of the data (verified exactly at
+    sf0.001 before this was gated): every session closed by a later
+    event for the same user, plus each user's final open session iff
+    session_end + gap fell behind the end-of-stream watermark
+    (max ts - 2 h) — because the watermark only grows, WHEN a timeout
+    fires along the way cannot change WHETHER it fires by end of
+    stream. The oracle expresses exactly that predicate over the batch
+    sessionization CTE."""
+    import tempfile
+
+    from matric_spark.streaming.sessionize import (
+        stage_time_ordered,
+        stream_events,
+        stream_sessionize,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = tempfile.mkdtemp(prefix="graft_stream_sess_")
+    incoming = f"{base}/incoming"
+    stage_time_ordered(
+        ev.select("event_id", "ts", "user_id", "event_type", "value", "props"),
+        incoming,
+        n_files=3,
+    )
+    sess = stream_sessionize(
+        stream_events(spark, incoming), gap_minutes=30, watermark="2 hours"
+    )
+    out_dir = f"{base}/sessions"
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return _round6(
+        spark.read.parquet(out_dir).select(
+            "user_id", "session_start", "session_end", "n_events", "total_value"
+        ),
+        ["total_value"],
+    )
+
+
 def q_incremental_verdicts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable EXTENDED suite vs the SAME oracle as verdicts_extended:
     crash after half the partitions, resume, and the assembled table —
@@ -1639,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_strata": _q_sim_strata("cosine"),
         "incremental_verdicts_extended": q_incremental_verdicts_extended,
         "events_retention": q_events_retention,
+        "streaming_sessions": q_streaming_sessions,
         "ref_tool_violations": q_ref_tool_violations,
         "events_asof_fwd": q_events_asof_fwd,
         "events_emd": q_events_emd,
@@ -1702,7 +1754,7 @@ _EXPENSIVE_QUERIES = {
     "emb_ivf_soundness", "emb_near_dup_ivf", "emb_near_dup_lsh",
     "incremental_verdicts", "incremental_verdicts_extended",
     "sim_kendall_strata", "sim_metrics_level10", "sim_metrics_level21",
-    "streaming_verdicts",
+    "streaming_sessions", "streaming_verdicts",
 }
 _MEDIUM_QUERIES = {
     "boilerplate_turns", "cluster_canonical", "cluster_stats", "colstats",
@@ -2410,6 +2462,21 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        (round(sum(value), 6) + 0) AS total_value
 FROM s GROUP BY user_id, session_id"""
     sql["events_sessionize"] = _sessionize_sql
+
+    # the streamed stateful sessionizer emits every session closed by a
+    # later same-user event (all but the user's last) plus the last
+    # session iff its end+gap fell behind the end-of-stream watermark
+    # (max ts - 2 h); see q_streaming_sessions for why this set is
+    # batch-split-independent
+    sql["streaming_sessions"] = f"""
+WITH sess0 AS ({_sessionize_sql}),
+sess AS (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+         FROM sess0),
+mx AS (SELECT max(ts) AS hi FROM events)
+SELECT user_id, session_start, session_end, n_events, total_value
+FROM sess, mx
+WHERE session_id < last_sid
+   OR session_end + INTERVAL 30 MINUTE < hi - INTERVAL 2 HOUR"""
 
     sql["events_asof_fwd"] = """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events

@@ -130,6 +130,43 @@ def stream_sessionize(
     )
 
 
+def stage_time_ordered(df: DataFrame, out_dir: str, n_files: int = 3,
+                       ts_col: str = "ts") -> None:
+    """Stage a bounded DataFrame as `n_files` parquet files holding
+    contiguous, ascending event-time ranges, with strictly increasing
+    mtimes so FileStreamSource (which orders files by (mtime, path))
+    replays them in event-time order.
+
+    This is the no-late-data precondition for deterministic streaming
+    over a file source: each micro-batch's events are all >= the
+    previous batch's max ts, so the watermark never drops a row, and
+    the emitted-session set becomes a pure function of the data (the
+    watermark only grows, so WHICH sessions time out by end-of-stream
+    does not depend on when along the way they fired)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    b = df.agg(F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")).collect()[0]
+    span = (b.hi - b.lo) / n_files
+    cuts = [b.lo + span * i for i in range(1, n_files)]
+    edges = [None, *cuts, None]
+    for i in range(n_files):
+        cond = F.lit(True)
+        if edges[i] is not None:
+            cond = cond & (F.col(ts_col) > edges[i])
+        if edges[i + 1] is not None:
+            cond = cond & (F.col(ts_col) <= edges[i + 1])
+        before = set(os.listdir(out_dir))
+        df.filter(cond).coalesce(1).write.mode("append").parquet(out_dir)
+        stamp = time.time() - 1000 + i * 10
+        for f in set(os.listdir(out_dir)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(out_dir, f), (stamp, stamp))
+
+
 def stream_events(spark, input_dir: str, max_files_per_trigger: int = 1):
     """File-source stream over an events directory (parquet)."""
     ddl = (

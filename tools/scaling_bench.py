@@ -20,6 +20,14 @@ Method notes (what made the measurement honest):
   untimed count).
 - Shuffle partitions scale with the core count (session.py), so the
   reduce side also widens from N to 4N.
+- Every interleave records the host's CONCURRENT memory-bus grant: a
+  pure numpy streaming loop run low-way and high-way right before the
+  job pair. Its per-core slowdown bounds what ANY stream-bound job can
+  measure at that moment (ceiling = t_low/t_high); on this shared VM
+  the grant swings by >2x between noisy-neighbor windows (round-4
+  measurements: identical single-process work ranged 1.8-3.9 s minutes
+  apart), so a job efficiency reading is only interpretable next to
+  the ceiling it was measured under.
 
 Usage: python tools/scaling_bench.py [--copies 16] [--runs 2]
        [--low 8] [--high 32] [--sf-dir /root/testdata/sf0.1]
@@ -90,6 +98,44 @@ print(json.dumps({"cpus": cpus, "n_turns": n_turns, "sec": round(best, 2),
 """
 
 
+_CAL = r"""
+import numpy as np, time
+n = 40_000_000  # 320 MB buffer/proc: far past LLC, pure bus traffic
+a = np.ones(n); b = np.empty_like(a)
+t0 = time.time()
+for _ in range(30):
+    np.multiply(a, 1.0000001, out=b)
+    a, b = b, a
+print(round(time.time() - t0, 3))
+"""
+
+
+def _stream_ceiling(low: int, high: int) -> dict:
+    """Concurrent memory-bus calibration: median per-process time of a
+    pure numpy streaming loop at low-way vs high-way parallelism.
+    ceiling = t_low/t_high is the best efficiency a fully stream-bound,
+    perfectly parallel job can measure on this host RIGHT NOW."""
+
+    def batch(k: int) -> float:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _CAL],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            for _ in range(k)
+        ]
+        times = sorted(float(p.communicate()[0]) for p in procs)
+        return times[len(times) // 2]
+
+    t_low, t_high = batch(low), batch(high)
+    return {
+        "stream_sec_low": t_low,
+        "stream_sec_high": t_high,
+        "ceiling": round(min(t_low / t_high, 1.0), 3),
+    }
+
+
 def _run(code: str, env: dict) -> str:
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True
@@ -147,8 +193,10 @@ def main() -> None:
     # one (measured: cold-only 16-core reps read 165s where the warm
     # steady state is ~101s on the same input).
     levels: dict[int, dict] = {}
+    ceilings: list[dict] = []
     env["SB_RUNS"] = str(args.inner)
     for _ in range(args.runs):
+        ceilings.append(_stream_ceiling(args.low, args.high))
         for cpus in (args.low, args.high):
             env["SB_CPUS"] = str(cpus)
             out = _run(_CHILD, env)
@@ -170,6 +218,7 @@ def main() -> None:
                 "parallelism_ratio": ratio,
                 "speedup": round(lo["sec"] / hi["sec"], 3),
                 "efficiency": round(eff, 3),
+                "host_stream_ceiling": ceilings,
                 "sf": args.sf_dir,
                 "copies": args.copies,
             }
