@@ -54,6 +54,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_verdicts(t, SuiteConfig())
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    """Scratch dir for materialize-once caches and state dirs, grouped
+    under ONE process-scoped root that is removed at interpreter exit —
+    bench/gate runs used to leak ~10 bare mkdtemp dirs into /tmp each.
+    Cleanup at atexit is safe: every path is only read back through the
+    driver within this process's lifetime."""
+    global _SCRATCH_ROOT
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="graft_run_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
     # `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 == +0.0): rank
     # vectors with the right tie structure yield centered dots of exactly
@@ -626,13 +647,11 @@ def _drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tapes/_level10 style, so four gated entries cost one table scan."""
     path = _DRIFT_SKETCH_CACHE.get(sf_dir)
     if path is None:
-        import tempfile
-
         from matric_spark.checks.drift import counts_sketch
 
         t = transcript_df(spark, sf_dir)
         out = counts_sketch(t, "part_month", F.length("text"))
-        path = tempfile.mkdtemp(prefix="graft_drift_") + "/sketch.parquet"
+        path = _scratch("graft_drift_") + "/sketch.parquet"
         out.write.parquet(path)
         _DRIFT_SKETCH_CACHE[sf_dir] = path
     return spark.read.parquet(path)
@@ -647,8 +666,6 @@ def _events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize-once pattern as _drift_sketch."""
     path = _EVENTS_SKETCH_CACHE.get(sf_dir)
     if path is None:
-        import tempfile
-
         from matric_spark.checks.drift import counts_sketch
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
@@ -657,7 +674,7 @@ def _events_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int"),
         )
         out = counts_sketch(ev, "cohort", F.floor("value").cast("long"))
-        path = tempfile.mkdtemp(prefix="graft_evsk_") + "/sketch.parquet"
+        path = _scratch("graft_evsk_") + "/sketch.parquet"
         out.write.parquet(path)
         _EVENTS_SKETCH_CACHE[sf_dir] = path
     return spark.read.parquet(path)
@@ -704,9 +721,7 @@ def _level10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = sim_annotate(sims, _population(spark, sf_dir), ["label"], side="both")
     out = sim_metrics(ann, ["id1", "label1"])
 
-    import tempfile
-
-    path = tempfile.mkdtemp(prefix="graft_l10_") + "/level10.parquet"
+    path = _scratch("graft_l10_") + "/level10.parquet"
     out.write.parquet(path)
     _LEVEL10_CACHE[sf_dir] = path
     return spark.read.parquet(path)
@@ -842,12 +857,10 @@ def q_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpoint/resume path vs the SAME oracle as `verdicts`: a
     two-step incremental run (crash after half the partitions, then
     resume) must reproduce the one-shot batch verdicts exactly."""
-    import tempfile
-
     from matric_spark.state import run_incremental
 
     t = transcript_df(spark, sf_dir)
-    sd = tempfile.mkdtemp(prefix="graft_state_")
+    sd = _scratch("graft_state_")
     run_incremental(spark, t, sd, "run1", "fp", fail_after_partitions=40)
     out = run_incremental(spark, t, sd, "run2", "fp")
     return _round6(out, ["metric"])
@@ -865,15 +878,13 @@ def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identically. This gates the streaming path against DuckDB
     end-to-end, upgrading the pytest differential (streaming ≡ batch,
     tests/test_streaming.py) to a value-hash oracle entry."""
-    import tempfile
-
     from matric_spark.streaming.validate import (
         stream_verdicts,
         validated_stream,
     )
 
     t = transcript_df(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="graft_stream_")
+    base = _scratch("graft_stream_")
     incoming = f"{base}/incoming"
     # conversation-complete files: same conv_id -> same crc32 -> same
     # output partition, so no conversation spans a micro-batch boundary.
@@ -906,8 +917,6 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires along the way cannot change WHETHER it fires by end of
     stream. The oracle expresses exactly that predicate over the batch
     sessionization CTE."""
-    import tempfile
-
     from matric_spark.streaming.sessionize import (
         stage_time_ordered,
         stream_events,
@@ -915,7 +924,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    base = tempfile.mkdtemp(prefix="graft_stream_sess_")
+    base = _scratch("graft_stream_sess_")
     incoming = f"{base}/incoming"
     stage_time_ordered(
         ev.select("event_id", "ts", "user_id", "event_type", "value", "props"),
@@ -947,12 +956,10 @@ def q_incremental_verdicts_extended(spark: SparkSession, sf_dir: str) -> DataFra
     crash after half the partitions, resume, and the assembled table —
     rule pack + FD from per-partition state, volume from the completion
     log — must equal the one-shot batch emission exactly."""
-    import tempfile
-
     from matric_spark.state import run_incremental
 
     t = transcript_df(spark, sf_dir)
-    sd = tempfile.mkdtemp(prefix="graft_state_ext_")
+    sd = _scratch("graft_state_ext_")
     run_incremental(
         spark, t, sd, "run1", "fp", fail_after_partitions=40, extended=True
     )

@@ -40,9 +40,7 @@ def main() -> None:
     # that derivation join. Parquet (vs .cache()) keeps column pruning,
     # predicate pushdown, and AQE on the read side — the same plan shape a
     # real table gives. Partitioned by part_month like the production table.
-    import tempfile
-
-    mat = os.path.join(tempfile.mkdtemp(prefix="graft_bench_"), "transcripts")
+    mat = os.path.join(e._scratch("graft_bench_"), "transcripts")
     transcript_df(spark, sf_dir).write.partitionBy("part_month").parquet(mat)
     os.environ["SPARK_GRAFT_TRANSCRIPTS_PARQUET"] = mat
 
