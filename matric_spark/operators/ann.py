@@ -258,6 +258,7 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_queries: bool = True,
+    centroids=None,
 ) -> DataFrame:
     """IVF top-k: the scale path for `ann_topk_bruteforce`.
 
@@ -285,8 +286,19 @@ def ann_topk_ivf(
         make_centroid_probe_udf,
     )
 
-    cent = ivf_centroids(
-        emb, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    # `centroids` lets callers reuse one fit across related queries (the
+    # index is fit once per ingest epoch in production; the entry-point
+    # cache in __spark_entry__ mirrors that)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            emb,
+            n_centroids=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     )
     assign = make_centroid_assign_udf(cent)
     probe = make_centroid_probe_udf(cent, nprobe)
@@ -358,6 +370,7 @@ def embedding_near_dup_ivf(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup-shaped near-dup (Abbas et al. 2023, arXiv:2303.09540):
     cluster the corpus with spherical k-means, then generate candidate
@@ -387,8 +400,17 @@ def embedding_near_dup_ivf(
     normed = _normalized(emb, id_col, vec_col, "vec_id", "v").filter(
         F.col("v").isNotNull()
     )
-    cent = ivf_centroids(
-        emb, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    # `centroids` shares one fit across related queries (see ann_topk_ivf)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            emb,
+            n_centroids=n_centroids,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     )
     from matric_spark.functions.udfs import make_centroid_probe_udf
 

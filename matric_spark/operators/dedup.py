@@ -9,10 +9,15 @@ Scale design (the part that matters at 100 TB):
   (shuffle keyed by shingle), NOT an O(N²) cross join; the count of
   candidate pairs is sum_sh C(df_sh, 2), controlled by dropping ultra-hot
   shingles (`max_df`) — the classic stop-shingle cut that also kills skew.
-- MinHash+LSH: per-doc signatures in ONE aggregation after the shingle
-  explode; candidates come from equi-joins on (band_idx, band_hash), so
-  the shuffle key is the band bucket — tiny and uniform. Verification
-  joins only the candidate set back to shingle sets.
+- MinHash+LSH: per-doc signatures as narrow array transforms over the
+  staged shingle-hash arrays (no explode on the hot path); candidates
+  come from equi-joins on band_hash (band_idx folded into the Horner
+  band hash), so the shuffle key is the band bucket — tiny and uniform.
+  Verification joins only the candidate set back to shingle sets.
+- hashing: one md5 per TOKEN, then pure int64 Horner combines for
+  shingle/window/band hashes (functions/hashing.shingle_hashes_of) —
+  mirrored bit-for-bit by the DuckDB oracle; no per-shingle string
+  allocation anywhere in the dedup scans.
 - SimHash: per-bit majority vote is a map-side-combinable sum aggregate;
   pair generation joins on 15-bit chunks (Hamming-distance pigeonhole).
 - embedding near-dup: exact variant blocks by a coarse quantization of
@@ -34,7 +39,6 @@ from matric_spark.functions.hashing import (
     HASH_PRIME,
     md5_long,
     minhash_params,
-    word_shingles,
 )
 
 SIMHASH_BITS = 60  # md5_long yields 60 usable bits
@@ -129,6 +133,16 @@ def _staged_toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _staged_th(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _th) staging for the numeric shingle-hash builders: the
+    per-token md5 runs once per row (own projection), so downstream
+    shingle hashes are pure arithmetic over the staged array."""
+    from matric_spark.functions.hashing import token_hashes
+
+    staged = _staged_toks(docs, id_col, text_col)
+    return staged.select("doc_id", token_hashes(F.col("_toks")).alias("_th"))
+
+
 def shingle_sets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -137,16 +151,19 @@ def shingle_sets(
 ) -> DataFrame:
     """Exploded distinct (id, shingle-hash) pairs; hash < HASH_PRIME.
 
-    Tokens are STAGED as their own projection before shingling so the
-    normalize+split runs once per row, not once per shingle
-    (functions/hashing.shingles_of)."""
-    from matric_spark.functions.hashing import shingles_of
+    Token hashes are STAGED as their own projection (one md5 per token,
+    once per row) and shingle hashes are the numeric Horner combine —
+    see functions/hashing.shingle_hashes_of for the construction and its
+    DuckDB mirror."""
+    from matric_spark.functions.hashing import shingle_hashes_of
 
-    staged = _staged_toks(docs, id_col, text_col)
+    staged = _staged_th(docs, id_col, text_col)
     return staged.select(
         "doc_id",
-        F.explode(F.array_distinct(shingles_of(F.col("_toks"), n))).alias("sh"),
-    ).select("doc_id", (md5_long(F.col("sh")) % HASH_PRIME).alias("h"))
+        F.explode(
+            F.array_distinct(shingle_hashes_of(F.col("_th"), n))
+        ).alias("h"),
+    )
 
 
 def shingle_hash_arrays(
@@ -163,15 +180,12 @@ def shingle_hash_arrays(
     tapes that is 147k arrays vs 40M rows, and re-reading the cache for the
     signature build and the Jaccard verify costs ~4x less. Narrow (no
     shuffle): the whole relation is one projection over the scan."""
-    from matric_spark.functions.hashing import shingles_of
+    from matric_spark.functions.hashing import shingle_hashes_of
 
-    staged = _staged_toks(docs, id_col, text_col)
+    staged = _staged_th(docs, id_col, text_col)
     return staged.select(
         "doc_id",
-        F.transform(
-            F.array_distinct(shingles_of(F.col("_toks"), n)),
-            lambda s: md5_long(s) % HASH_PRIME,
-        ).alias("harr"),
+        F.array_distinct(shingle_hashes_of(F.col("_th"), n)).alias("harr"),
     )
 
 
@@ -386,31 +400,31 @@ def duplicated_spans(
     """
     from pyspark import StorageLevel
 
-    from matric_spark.functions.hashing import shingles_of
+    from matric_spark.functions.hashing import shingle_hashes_of, token_hashes
 
-    staged = docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalized_text(text_col), " ").alias("_toks"),
+    staged = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(normalized_text(text_col), " ").alias("_toks"),
+        )
+        .select("doc_id", token_hashes(F.col("_toks")).alias("_th"))
     )
     base = staged.select(
-        "doc_id", F.size("_toks").cast("long").alias("n_tokens"), "_toks"
+        "doc_id", F.size("_th").cast("long").alias("n_tokens"), "_th"
     )
     # `wins` feeds three consumers (dup-hash counts, position flagging,
     # doc sizes); persist so the upstream — potentially an expensive
     # derived relation like conversation tapes — is built ONCE. Every
     # doc has >= 1 window (whole-text fallback), so per-doc sizes come
     # from wins itself and the upstream is never re-scanned.
-    wins = (
-        base.select(
-            "doc_id",
-            "n_tokens",
-            F.posexplode(shingles_of(F.col("_toks"), window)).alias(
-                "pos", "sh"
-            ),
-        )
-        .select("doc_id", "n_tokens", "pos", md5_long(F.col("sh")).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    wins = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(shingle_hashes_of(F.col("_th"), window)).alias(
+            "pos", "h"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = wins.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
     dup_h = (
         wins.groupBy("h")
@@ -537,7 +551,8 @@ def minhash_lsh_pairs(
 
     bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j^4)^8; at
     j=0.5 that's 0.46, at j=0.9 it's 1.0 — tuned for near-dup recall.
-    Pair shuffle is keyed on (band_idx, band_hash): uniform tiny buckets.
+    Pair shuffle is keyed on band_hash: uniform tiny buckets (band_idx
+    is folded into the Horner band hash, see _banded).
 
     The shingle relation is persisted in ARRAY form (one row per doc) and
     shared by the signature build and the verification join; signatures
@@ -545,8 +560,10 @@ def minhash_lsh_pairs(
     the verify joins each candidate pair to its two cached arrays and
     takes size(array_intersect(h1, h2)) JVM-side — value-identical to
     counting shared exploded hashes (arrays are distinct by
-    construction), but with no 40M-row explode and no count shuffle:
-    13.8 s vs 16.6 s end-to-end on 147k conversation tapes at sf0.1.
+    construction), but with no 40M-row explode and no count shuffle.
+    With the numeric token-Horner shingle hashes + numeric band hashes
+    this runs 14.5 s end-to-end on 147k conversation tapes at sf0.1 vs
+    19.4 s for the md5-per-shingle/md5-per-band construction.
     Per-candidate memory is two shingle arrays (~8 B × tokens/doc);
     candidates are near-dup-banded, so no hot row fans out. The `i >= 1`
     filter reproduces the exploded path's inner-join semantics (a
@@ -563,7 +580,7 @@ def minhash_lsh_pairs(
     banded = _banded(sig, rows, bands)
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), ["band_idx", "band_hash"])
+        .join(banded.alias("y"), ["band_hash"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2")
@@ -595,17 +612,21 @@ def minhash_lsh_pairs(
 
 
 def _banded(sig: DataFrame, rows: int, bands: int) -> DataFrame:
-    """DataFrame[doc_id, band_idx, band_hash] from an mh_* signature."""
+    """DataFrame[doc_id, band_idx, band_hash] from an mh_* signature.
+
+    band_hash is the numeric Horner combine of (band_idx, that band's
+    mh values) — band_idx leads the polynomial so the SAME row values in
+    DIFFERENT bands hash apart, letting callers key the candidate join
+    on band_hash alone (one join column, no per-band md5/concat; a
+    cross-band collision mod 2^31 merely adds one exact-verified
+    candidate, identically on both engines)."""
+    from matric_spark.functions.hashing import horner_hash
+
     band_hashes = F.array(
         *[
-            md5_long(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{b * rows + r}").cast("string")
-                        for r in range(rows)
-                    ],
-                )
+            horner_hash(
+                [F.lit(b)]
+                + [F.col(f"mh_{b * rows + r}") for r in range(rows)]
             )
             for b in range(bands)
         ]
@@ -636,7 +657,7 @@ def minhash_lsh_pairs_against(
 
     Scale shape: the reference side's banded relation is a pure function
     of the corpus — at 100 TB it is computed ONCE, written bucketed by
-    (band_idx, band_hash), and every ingest batch equi-joins its (small)
+    band_hash, and every ingest batch equi-joins its (small)
     banded signatures against it; candidates exchange only id pairs, and
     the exact-Jaccard verify joins just the candidate set back to the
     two shingle relations. Nothing is O(|new| x |ref|).
@@ -669,7 +690,7 @@ def minhash_lsh_pairs_against(
         .withColumnRenamed("doc_id", "new_id")
         .join(
             _banded(sig_ref, rows, bands).withColumnRenamed("doc_id", "ref_id"),
-            ["band_idx", "band_hash"],
+            ["band_hash"],
         )
         .select("new_id", "ref_id")
         .distinct()

@@ -62,6 +62,69 @@ def test_minhash_lsh_finds_near_dups(spark, tiny_docs):
     assert lsh == exact and (0, 1) in lsh
 
 
+def test_shingle_hashes_match_python_reference(spark):
+    """Pin the numeric token-Horner shingle construction to a pure-Python
+    reference: md5 per token mod P, then sum(th[i+j] * K^(n-1-j)) mod P
+    per position, whole-doc fallback below n tokens. Guards BOTH engine
+    mirrors (functions/hashing.shingle_hashes_of and
+    duck_oracle._shingle_hashes_sql) through one spec."""
+    import hashlib
+
+    from matric_spark.functions.hashing import HASH_PRIME, SHINGLE_K
+    from matric_spark.operators.dedup import shingle_hash_arrays
+
+    def py_md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_shingles(text: str, n: int = 3) -> list[int]:
+        th = [py_md5_long(t) % HASH_PRIME for t in text.split(" ")]
+        if len(th) < n:
+            grp = [th]
+        else:
+            grp = [th[i : i + n] for i in range(len(th) - n + 1)]
+        out = []
+        for g in grp:
+            acc = g[0]
+            for v in g[1:]:
+                acc = (acc * SHINGLE_K + v) % HASH_PRIME
+            out.append(acc)
+        # array_distinct keeps first-occurrence order; sets compare here
+        return sorted(set(out))
+
+    texts = {
+        10: "alpha beta gamma delta",  # 2 shingles
+        11: "alpha beta",  # short doc -> 1 whole-doc hash
+        12: "solo",  # single token
+        13: "alpha beta gamma",  # exactly n tokens
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: sorted(set(r.harr))
+        for r in shingle_hash_arrays(docs, n=3).collect()
+    }
+    assert got == {k: py_shingles(v) for k, v in texts.items()}
+
+    # and the DuckDB mirror reproduces the same values
+    import duckdb
+
+    from matric_spark.duck_oracle import _shingle_hashes_sql, _token_h_sql
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""WITH d(doc_id, text) AS (VALUES {
+            ", ".join(f"({k}, '{v}')" for k, v in texts.items())
+        }),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+        h AS (SELECT doc_id, {_token_h_sql('toks')} AS th FROM t)
+        SELECT doc_id, {_shingle_hashes_sql('th', 3)} AS sh FROM h"""
+    ).fetchall()
+    assert {r[0]: sorted(set(r[1])) for r in rows} == {
+        k: py_shingles(v) for k, v in texts.items()
+    }
+
+
 def test_minhash_array_signatures_match_exploded(spark, tiny_docs):
     """Differential: the narrow array-transform signature builder must be
     value-identical to the exploded groupBy path, and the
