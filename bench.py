@@ -58,6 +58,17 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     verdict_s = times.get("verdicts", total)
+
+    # Post-suite warm probe of the flagship query: this host sees bursty
+    # external contention (BASELINE.md documents 1.4-2x inflation
+    # windows), and a single in-suite reading can land inside one. Two
+    # extra warm runs give the reader the contention context without
+    # changing `value`'s cross-round semantics (still the in-suite
+    # number): warm >> band means the whole snapshot is inflated.
+    warm = min(
+        run_once(qs["verdicts"], spark, sf_dir) for _ in range(2)
+    ) if "verdicts" in qs else None
+
     out = {
         "metric": "full_constraint_suite_sec",
         "value": verdict_s,
@@ -66,6 +77,10 @@ def main() -> None:
         "sf": sf_dir,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / verdict_s, 1) if verdict_s else None,
+        "verdicts_warm_sec": round(warm, 3) if warm is not None else None,
+        "turns_per_sec_warm": (
+            round(n_turns / warm, 1) if warm else None
+        ),
         "total_sec": total,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
