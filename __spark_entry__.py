@@ -1793,29 +1793,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# cost tiers from the recorded sf0.1/local[32] bench (BENCH_r02/r03):
+# cost tiers from the recorded sf0.1/local[32] bench (BENCH_r02/r03,
+# adjusted for the round-4 token-Horner hashing + shared IVF fits):
 # expensive >= ~5 s, medium ~1-5 s, everything else cheap (< 1 s).
 _EXPENSIVE_QUERIES = {
-    "ann_ivf_soundness", "ann_topk_ivf", "conv_dup_spans", "conv_near_dup",
-    "emb_ivf_soundness", "emb_near_dup_ivf", "emb_near_dup_lsh",
+    "ann_topk_ivf", "conv_dup_spans", "conv_near_dup",
+    "emb_ivf_soundness", "emb_near_dup_ivf",
     "incremental_verdicts", "incremental_verdicts_extended",
     "sim_kendall_strata", "sim_metrics_level10", "sim_metrics_level21",
     "streaming_sessions", "streaming_verdicts",
 }
 _MEDIUM_QUERIES = {
-    "boilerplate_turns", "cluster_canonical", "cluster_stats", "colstats",
+    "ann_ivf_soundness", "boilerplate_turns", "cluster_canonical",
+    "cluster_stats", "colstats",
     "cms_topk_bounds", "conv_fingerprint", "conv_token_stats",
     "conv_verdicts", "conversation_shape", "corpus_quality",
     "dedup_clusters", "dedup_exact_text", "dedup_impact",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash", "ingest_gate",
     "doc_dup_spans", "doc_fingerprint", "doc_langid", "doc_lm_score",
     "doc_repetition", "doc_text_stats", "drift_emd", "drift_ks",
-    "drift_psi", "emb_dedup_clusters", "emb_near_dup", "events_drift",
+    "drift_psi", "emb_dedup_clusters", "emb_near_dup", "emb_near_dup_lsh",
+    "events_drift",
     "fd_violations", "heavy_hitters", "quarantine_summary",
     "ref_role_violations", "ref_tool_violations", "role_transitions",
     "seq_out_of_order", "signif_monotonic", "sim_collate",
     "sim_collate_alldiff", "sim_cosine_strata", "sim_euclidean_strata",
-    "sim_pearson_complete_strata",
     "sim_pearson_complete_strata", "sim_pearson_strata", "sim_signif",
     "sim_spearman_strata",
     "sketch_bounds", "sketch_stats", "text_parity", "tfidf_topk",
