@@ -26,12 +26,29 @@ def run_once(fn, spark, sf_dir) -> float:
     return time.time() - t0
 
 
+def _bus_ceiling() -> float | None:
+    """Concurrent memory-bus grant stamp (tools/scaling_bench's
+    calibration probe): the best scaling efficiency ANY stream-bound job
+    can measure on this host right now. This VM sees bursty external
+    contention (BASELINE.md: 1.4-2x inflation windows); bracketing the
+    suite with two stamps makes a snapshot self-adjudicating — low
+    ceiling means the absolute times are inflated, not the code."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from scaling_bench import _stream_ceiling
+
+        return _stream_ceiling(2, 8)["ceiling"]
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
     from matric_spark.session import get_spark
     from matric_spark.sources.transcripts_view import transcript_df
 
+    ceiling_pre = _bus_ceiling()
     spark = get_spark(app_name="matric_spark_bench")
 
     # Materialize the transcript table to parquet once. In production this
@@ -68,6 +85,7 @@ def main() -> None:
     warm = min(
         run_once(qs["verdicts"], spark, sf_dir) for _ in range(2)
     ) if "verdicts" in qs else None
+    ceiling_post = _bus_ceiling()
 
     out = {
         "metric": "full_constraint_suite_sec",
@@ -83,6 +101,8 @@ def main() -> None:
         ),
         "total_sec": total,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "bus_ceiling_pre": ceiling_pre,
+        "bus_ceiling_post": ceiling_post,
     }
     print(json.dumps(out))
 
