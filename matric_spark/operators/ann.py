@@ -76,21 +76,53 @@ def _normalized(
     )
 
 
+# Hard ceiling on candidate pairs the exact (cartesian) baselines will
+# generate before refusing to run. 1e8 pairs ≈ minutes on one host and
+# covers every test/gate fixture (≤ 2e6 pairs at sf0.1) with two orders
+# of margin; any real corpus slice blows past it immediately, which is
+# the point — the production paths are the LSH/IVF twins below.
+MAX_EXACT_PAIRS = 100_000_000
+
+
+def _guard_pair_budget(
+    n_pairs: int, op: str, twin: str, max_pairs: "int | None"
+) -> None:
+    if max_pairs is not None and n_pairs > max_pairs:
+        raise ValueError(
+            f"{op}: exact baseline would generate {n_pairs:,} candidate "
+            f"pairs (> max_pairs={max_pairs:,}). This path is O(N²)/O(N·M) "
+            f"by construction and exists as the oracle/soundness baseline "
+            f"for {twin} — use that for production data, or pass "
+            f"max_pairs=None to run the exact scan anyway."
+        )
+
+
 def ann_topk_bruteforce(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: "int | None" = MAX_EXACT_PAIRS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     `queries` is small (it is broadcast); the big side streams through a
     broadcast-nested-loop with the dot product in codegen. Deterministic
     tie-break: (cosine desc, vec_id asc).
+
+    `max_pairs` bounds |emb|·|queries| (one count per side at call time,
+    negligible vs the scan it authorizes); None skips the check.
     """
     from pyspark.sql.window import Window
 
+    if max_pairs is not None:
+        _guard_pair_budget(
+            emb.count() * queries.count(),
+            "ann_topk_bruteforce",
+            "ann_topk_ivf",
+            max_pairs,
+        )
     q = _normalized(queries, id_col, vec_col, "qid", "qv")
     e = _normalized(emb, id_col, vec_col, "vec_id", "v")
     scored = (
@@ -110,12 +142,24 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: "int | None" = MAX_EXACT_PAIRS,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold (the oracle baseline).
 
     O(N²) by construction — correct at test scale; the LSH variant below
     is the same operator with candidate pruning for production scale.
+    `max_pairs` (default 1e8) makes that contract enforced rather than
+    advisory: the call refuses to build a cartesian bigger than the
+    budget (None opts out).
     """
+    if max_pairs is not None:
+        n = emb.count()
+        _guard_pair_budget(
+            n * (n - 1) // 2,
+            "embedding_near_dup",
+            "embedding_near_dup_lsh / embedding_near_dup_ivf",
+            max_pairs,
+        )
     e1 = _normalized(emb, id_col, vec_col, "id1", "v1")
     e2 = _normalized(emb, id_col, vec_col, "id2", "v2")
     return (
@@ -442,6 +486,7 @@ def embedding_near_dup_against(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: "int | None" = MAX_EXACT_PAIRS,
 ) -> DataFrame:
     """Exact cross-set near-dup: for each NEW embedding, the REFERENCE
     embeddings with cosine >= threshold → [new_id, ref_id, cosine] —
@@ -450,8 +495,16 @@ def embedding_near_dup_against(
 
     O(|new|·|ref|) by construction: the oracle baseline and soundness
     reference for `embedding_near_dup_against_ivf`, which is the same
-    operator with IVF-cell blocking for production scale.
+    operator with IVF-cell blocking for production scale. `max_pairs`
+    enforces that contract at call time (None opts out).
     """
+    if max_pairs is not None:
+        _guard_pair_budget(
+            new_emb.count() * ref_emb.count(),
+            "embedding_near_dup_against",
+            "embedding_near_dup_against_ivf",
+            max_pairs,
+        )
     a = _normalized(new_emb, id_col, vec_col, "new_id", "v1")
     b = _normalized(ref_emb, id_col, vec_col, "ref_id", "v2")
     return (

@@ -221,6 +221,26 @@ def test_embedding_near_dup_exact(spark, tiny_vectors):
     assert pairs[(0, 1)] > 0.999
 
 
+def test_exact_baseline_pair_budget_guard(spark, tiny_vectors):
+    """The exact cartesian baselines refuse to run past max_pairs —
+    the 'never point this at real data' contract is enforced, not
+    advisory. max_pairs=None is the explicit opt-out."""
+    from matric_spark.operators.ann import (
+        ann_topk_bruteforce,
+        embedding_near_dup,
+        embedding_near_dup_against,
+    )
+
+    with pytest.raises(ValueError, match="max_pairs"):
+        embedding_near_dup(tiny_vectors, 0.9, max_pairs=5)
+    with pytest.raises(ValueError, match="max_pairs"):
+        embedding_near_dup_against(tiny_vectors, tiny_vectors, 0.9, max_pairs=5)
+    with pytest.raises(ValueError, match="max_pairs"):
+        ann_topk_bruteforce(tiny_vectors, tiny_vectors, k=2, max_pairs=5)
+    # opt-out still runs the exact scan
+    assert embedding_near_dup(tiny_vectors, 0.9, max_pairs=None).count() == 2
+
+
 def test_embedding_near_dup_lsh_recall(spark, tiny_vectors):
     from matric_spark.operators.ann import embedding_near_dup, embedding_near_dup_lsh
 
