@@ -72,10 +72,21 @@ def conversation_tapes(df: DataFrame) -> DataFrame:
     order FIRST (Spark's asc default) — the DuckDB tape CTE must say
     NULLS FIRST explicitly to mirror this ->
     DataFrame[conv_id, tape]. One groupBy(conv_id) with bounded state
-    (a conversation is ~10^4 turns max)."""
+    (a conversation is ~10^4 turns max).
+
+    The agg's shuffle is pinned to the session's shuffle-partition count
+    via an explicit repartition(conv_id) (which the groupBy reuses — one
+    exchange, not two): transcript text compresses ~15x in shuffle files,
+    so AQE's size-based partition coalescing — blind to decompressed CPU
+    cost — would merge this CPU-heavy string aggregation onto a handful
+    of tasks (measured at sf0.1/local[32]: 3 tasks, 6.2 s vs 32 tasks,
+    2.9 s cold). Explicit numPartitions is exempt from AQE coalescing."""
     s = turn_order_string()
     item = F.struct(F.col("turn_idx"), F.col("ts"), s.alias("s"))
-    g = df.groupBy("conv_id").agg(
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    g = df.repartition(n_shuffle, "conv_id").groupBy("conv_id").agg(
         F.sort_array(F.collect_list(item)).alias("items")
     )
     tape = F.array_join(F.transform(F.col("items"), lambda x: x["s"]), "\x1e")

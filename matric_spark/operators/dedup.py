@@ -32,11 +32,14 @@ discipline before fan-out joins (R/sim_calculate.R:293-299).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from matric_spark.functions.hashing import (
     HASH_PRIME,
+    SHINGLE_K,
     md5_long,
     minhash_params,
 )
@@ -539,6 +542,59 @@ def minhash_signatures_from_arrays(
     )
 
 
+def banded_minhash_arrays(
+    harr_df: DataFrame, num_hashes: int = 32, bands: int = 8, seed: int = 42
+) -> DataFrame:
+    """DataFrame[doc_id, band_hash] in ONE vectorized Arrow pass over the
+    shingle-hash arrays — value-identical to
+    ``_banded(minhash_signatures_from_arrays(...))`` (differential-tested,
+    and byte-equal to the DuckDB mirror in duck_oracle.minhash_lsh_sql):
+    per permutation i, mh_i = min((a_i*h + b_i) % P) over the row's
+    distinct shingle hashes; per band b, band_hash = Horner(b, mh_{b*r}..
+    mh_{b*r+r-1}) mod P.
+
+    Why a pandas UDF and not 125 JVM ``array_min(transform(...))``
+    columns: higher-order functions are CodegenFallback, so the column
+    form pays interpreted per-element lambda dispatch at runtime AND —
+    measured on the 147k-tape near-dup at sf0.1 — ~10 s of driver-side
+    optimizer/codegen latency for the 125-column plan before the first
+    task launches (a fixed CPU cost that dominated the query in-suite).
+    Here the whole signature+banding is |harr|·k int64 numpy ops per row
+    batch, the plan is scan → ArrowEval → explode, and both engines'
+    values are unchanged because the arithmetic is the same
+    ((a*h+b) < 2^62 and acc*K + mh < 2^52: no int64 overflow).
+
+    A row with an empty hash array emits no bands (the exploded groupBy
+    path emits no signature row for a shingle-less doc; parity)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    from pyspark.sql.functions import pandas_udf
+
+    params = minhash_params(num_hashes, seed=seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @pandas_udf("array<long>")
+    def _band_hashes(col: pd.Series) -> pd.Series:
+        out: list = []
+        for arr in col:
+            hv = np.asarray(arr, dtype=np.int64)
+            if hv.size == 0:
+                out.append([])
+                continue
+            mins = ((a_vec * hv[None, :] + b_vec) % HASH_PRIME).min(axis=1)
+            m = mins.reshape(bands, rows)  # row b = mh_{b*rows}..mh_{b*rows+rows-1}
+            acc = np.arange(bands, dtype=np.int64)  # polynomial leads with band_idx
+            for r in range(rows):
+                acc = (acc * SHINGLE_K + m[:, r]) % HASH_PRIME
+            out.append(acc.tolist())
+        return pd.Series(out)
+
+    return harr_df.select(
+        "doc_id", F.explode(_band_hashes("harr")).alias("band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.1,
@@ -552,18 +608,25 @@ def minhash_lsh_pairs(
     bands=8 × rows=4 over 32 hashes → collision prob ≈ 1-(1-j^4)^8; at
     j=0.5 that's 0.46, at j=0.9 it's 1.0 — tuned for near-dup recall.
     Pair shuffle is keyed on band_hash: uniform tiny buckets (band_idx
-    is folded into the Horner band hash, see _banded).
+    is folded into the Horner band hash, see banded_minhash_arrays).
 
     The shingle relation is persisted in ARRAY form (one row per doc) and
-    shared by the signature build and the verification join; signatures
-    come from per-row array transforms (no explode, no agg shuffle), and
-    the verify joins each candidate pair to its two cached arrays and
-    takes size(array_intersect(h1, h2)) JVM-side — value-identical to
-    counting shared exploded hashes (arrays are distinct by
-    construction), but with no 40M-row explode and no count shuffle.
-    With the numeric token-Horner shingle hashes + numeric band hashes
-    this runs 14.5 s end-to-end on 147k conversation tapes at sf0.1 vs
-    19.4 s for the md5-per-shingle/md5-per-band construction.
+    shared by the signature+banding pass and the verification join; the
+    banded relation (doc_id, band_hash — tiny rows) is persisted too, so
+    the x/y candidate self-join reads one materialization instead of
+    computing the signatures twice. Both persists are filled EAGERLY
+    (count()): the final plan fans the cached relations into four
+    branches (x, y, h1, h2), and lazily-filled caches race there — each
+    branch recomputes the tape/shingle pipeline concurrently before the
+    cache lands (measured: 4 duplicate ~6 s stages on the 147k-tape
+    near-dup at sf0.1, plus the same work again on the verify sides).
+    Signatures+bands come from one vectorized Arrow pass
+    (banded_minhash_arrays — see its docstring for why not 125 JVM
+    array_min/transform columns). The verify joins each candidate pair
+    to its two cached arrays and takes size(array_intersect(h1, h2))
+    JVM-side — value-identical to counting shared exploded hashes
+    (arrays are distinct by construction), but with no 40M-row explode
+    and no count shuffle.
     Per-candidate memory is two shingle arrays (~8 B × tokens/doc);
     candidates are near-dup-banded, so no hot row fans out. The `i >= 1`
     filter reproduces the exploded path's inner-join semantics (a
@@ -571,13 +634,15 @@ def minhash_lsh_pairs(
     threshold, including 0, gives identical output.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     from pyspark import StorageLevel
 
     # shared by the signature build AND the verification join
     harr = shingle_hash_arrays(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures_from_arrays(harr, num_hashes=num_hashes, seed=seed)
-    banded = _banded(sig, rows, bands)
+    harr.count()
+    banded = banded_minhash_arrays(
+        harr, num_hashes=num_hashes, bands=bands, seed=seed
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band_hash"])

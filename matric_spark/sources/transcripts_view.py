@@ -82,6 +82,11 @@ def transcript_sql() -> str:
     return TRANSCRIPT_VIEW_SQL
 
 
+# keyed on the session OBJECT (not id()) so a stopped-and-replaced
+# session can never alias a stale plan through id reuse
+_PLAN_MEMO: dict[tuple[SparkSession, str, str | None], DataFrame] = {}
+
+
 def transcript_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the transcript DataFrame for a scale-factor dir.
 
@@ -89,21 +94,34 @@ def transcript_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     At cluster scale this is replaced by ``spark.read.table('transcripts')``
     over the Iceberg table partitioned by days(ts); `part_month` plays the
     partition-key role here.
+
+    The ANALYZED PLAN (a plain immutable DataFrame — no data, no persist)
+    is memoized per (session, sf_dir): re-deriving it costs ~2-3 s of
+    parquet-footer jobs + SQL analysis, paid at CONSTRUCTION time by
+    nearly every query in the suite. Execution is unchanged — each query
+    still scans and computes from the raw tables.
     """
     import os
+
+    mat = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_PARQUET")
+    key = (spark, sf_dir, mat)
+    got = _PLAN_MEMO.get(key)
+    if got is not None:
+        return got
 
     # Bench-time override: read the materialized table directly (the
     # production shape — transcripts exist as Iceberg/parquet storage,
     # the lineitem⋈orders derivation is a synthetic-data artifact).
     # Parquet keeps column pruning/pushdown + AQE, which .cache() loses.
-    mat = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_PARQUET")
     if mat:
-        return spark.read.parquet(mat)
+        out = spark.read.parquet(mat)
+    else:
+        from matric_spark.sources.testdata import register_views
 
-    from matric_spark.sources.testdata import register_views
-
-    register_views(spark, sf_dir, ["lineitem", "orders"])
-    return spark.sql(TRANSCRIPT_VIEW_SQL)
+        register_views(spark, sf_dir, ["lineitem", "orders"])
+        out = spark.sql(TRANSCRIPT_VIEW_SQL)
+    _PLAN_MEMO[key] = out
+    return out
 
 
 def duckdb_transcript_cte(alias: str = "transcripts") -> str:

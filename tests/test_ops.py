@@ -162,6 +162,37 @@ def test_minhash_array_signatures_match_exploded(spark, tiny_docs):
         assert jac == inter / len(sets[i] | sets[j]) and inter >= 1
 
 
+def test_banded_minhash_arrow_matches_column_path(spark, tiny_docs):
+    """Differential: the vectorized Arrow band-hash pass
+    (banded_minhash_arrays — the hot path inside minhash_lsh_pairs)
+    must emit exactly the (doc_id, band_hash) multiset of the JVM
+    column construction _banded(minhash_signatures_from_arrays(...)),
+    which is itself pinned to the DuckDB oracle mirror. Covers both a
+    32-hash/8-band and a 10-hash/5-band parametrization."""
+    from matric_spark.operators.dedup import (
+        _banded,
+        banded_minhash_arrays,
+        minhash_signatures_from_arrays,
+        shingle_hash_arrays,
+    )
+
+    harr = shingle_hash_arrays(tiny_docs, n=3)
+    for num_hashes, bands in ((32, 8), (10, 5)):
+        got = sorted(
+            (r.doc_id, r.band_hash)
+            for r in banded_minhash_arrays(harr, num_hashes, bands).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.band_hash)
+            for r in _banded(
+                minhash_signatures_from_arrays(harr, num_hashes),
+                num_hashes // bands,
+                bands,
+            ).collect()
+        )
+        assert got == want and len(got) == 5 * bands
+
+
 def test_minhash_lsh_against_cross_set(spark, tiny_docs):
     """Incremental dedup: new batch = docs {1, 2, 3}, corpus = {0, 4}.
     1 is an exact dup of 0/4 (j=1.0), 2 a near-dup of both (8/9), 3
