@@ -428,6 +428,12 @@ def duplicated_spans(
             "pos", "h"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # eager fill: the three consumer branches below land in ONE action,
+    # and AQE submits their exchange jobs concurrently — with a lazy
+    # persist each branch races to compute `wins` (and its whole tape/
+    # shingle upstream) before the cache lands. Same fix as
+    # minhash_lsh_pairs; one serialized pass buys back 2x duplicate CPU.
+    wins.count()
     sizes = wins.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
     dup_h = (
         wins.groupBy("h")

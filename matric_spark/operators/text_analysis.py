@@ -265,9 +265,14 @@ def tfidf_topk(docs: DataFrame, k: int = 5, min_df: int = 1) -> DataFrame:
     results can. Ties break on token ascending.
 
     Scale shape: per-doc tf via groupBy(doc_id, token) with map-side
-    combine; the df table is min_df-pruned and BROADCAST back (vocab ≪
-    corpus; for a 10^8-term vocab switch the hint off and let AQE pick a
-    shuffle join); top-k is one window keyed on doc_id.
+    combine; the df table joins back as a plain shuffle-hash join keyed
+    on `token` — like doc_lm_score's ctf it has |vocab| rows (1e8-1e9
+    distinct normalized tokens on a web corpus), so it must NOT be
+    hint-broadcast; per_doc is already hash-partitioned by (doc_id,
+    token) and carries ids+counts only, never text. AQE is still free to
+    pick a broadcast from runtime size stats when min_df pruning leaves
+    a small table. Pinned by tests/test_plans.py. The 1-row n_docs
+    scalar IS broadcast. Top-k is one window keyed on doc_id.
     """
     from matric_spark.operators.dedup import normalized_text
     from pyspark.sql import Window
@@ -287,7 +292,7 @@ def tfidf_topk(docs: DataFrame, k: int = 5, min_df: int = 1) -> DataFrame:
     )
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        per_doc.join(F.broadcast(dfx), "token")
+        per_doc.join(dfx, "token")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

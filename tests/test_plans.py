@@ -540,3 +540,26 @@ def test_doc_lm_score_does_not_broadcast_vocab(spark, sf_dir):
     for m in sections:
         im = re.search(r"Input \[\d+\]: \[(.*?)\]", m.group(1))
         assert im and not re.search(r"\b(token|ctf)#\d+", im.group(1)), m.group(1)
+
+
+def test_tfidf_topk_does_not_broadcast_vocab(spark, sf_dir):
+    """Same contract as doc_lm_score: the document-frequency relation is
+    |vocab|-sized and must never be hint-broadcast; only the 1-row
+    n_docs scalar may ride a BroadcastExchange."""
+    import re
+
+    from matric_spark.operators.text_analysis import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(tfidf_topk(docs, k=5))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    sections = re.finditer(
+        r"\n\(\d+\) BroadcastExchange\n(.*?)(?=\n\(\d+\) |\Z)", p, re.S
+    )
+    for m in sections:
+        im = re.search(r"Input \[\d+\]: \[(.*?)\]", m.group(1))
+        assert im and not re.search(r"\b(token|df)#\d+", im.group(1)), m.group(1)
