@@ -36,6 +36,8 @@ def sim_collate(
     all_same_cols_rep: list[str],
     all_same_cols_non_rep: list[str],
     any_different_cols_non_rep: list[str],
+    any_different_cols_rep: list[str] | None = None,
+    all_different_cols_rep: list[str] | None = None,
     all_different_cols_non_rep: list[str] | None = None,
     all_same_cols_group: list[str] | None = None,
     any_different_cols_group: list[str] | None = None,
@@ -92,10 +94,23 @@ def sim_collate(
     ).withColumn("type", F.lit("ref"))
 
     # rep: replicate pairs among non-reference rows (both directions,
-    # R/sim_collate.R:311-345)
-    rep_pairs = within_group_pairs(
-        non_ref, all_same_cols_rep, id_col=id_col
-    ).withColumn("type", F.lit("rep"))
+    # R/sim_collate.R:311-345). With the optional rep-side inequality
+    # constraints (R/sim_collate.R:325-345: any_different_cols_rep /
+    # all_different_cols_rep, e.g. "replicates must sit on different
+    # plates"), the same-key universe is post-filtered exactly like the
+    # non_rep subset — the equality key still drives the shuffle, the
+    # inequalities apply after the join.
+    rep_universe = within_group_pairs(non_ref, all_same_cols_rep, id_col=id_col)
+    if any_different_cols_rep or all_different_cols_rep:
+        rep_universe = filter_some_different(
+            rep_universe,
+            meta,
+            all_same_cols=all_same_cols_rep,
+            all_different_cols=all_different_cols_rep,
+            any_different_cols=any_different_cols_rep,
+            id_col=id_col,
+        )
+    rep_pairs = rep_universe.withColumn("type", F.lit("rep"))
 
     # rep_ref: replicate pairs among reference rows, tagged 'rep'
     # (R/sim_collate.R:366-396); deduped out of ref below. Its key may

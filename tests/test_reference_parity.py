@@ -224,6 +224,57 @@ def test_collate_tallies(collated_sims, population):
     }
 
 
+def test_collate_all_different_cols_rep(spark, population, collated_sims):
+    """test-sim_collate.R:228-270: adding all_different_cols_rep=
+    [Metadata_Plate] removes exactly the type-'rep' pairs that sit on
+    the SAME plate — every removed pair has Plate1 == Plate2, and the
+    removed set contains no other type."""
+    from matric_spark.operators.collate import sim_collate
+    from matric_spark.operators.pairs import attach_sim
+
+    drop_spec = spark.createDataFrame([("EMPTY",)], "Metadata_gene_name string")
+    coll_ad = sim_collate(
+        population,
+        reference=F.col("is_ref"),
+        all_same_cols_ref=["Metadata_cell_line", "Metadata_Plate"],
+        all_same_cols_rep=ANNOT,
+        all_different_cols_rep=["Metadata_Plate"],
+        all_same_cols_rep_ref=[*ANNOT, "Metadata_Plate"],
+        all_same_cols_non_rep=["Metadata_cell_line", "Metadata_Plate"],
+        any_different_cols_non_rep=ANNOT,
+        all_different_cols_non_rep=["Metadata_gene_name"],
+        all_same_cols_group=["Metadata_cell_line", "Metadata_gene_name"],
+        any_different_cols_group=ANNOT,
+        drop_group_spec=drop_spec,
+        drop_reference=False,
+    )
+    sims_ad = attach_sim(
+        coll_ad, population, kernel="pearson", vec_col="embedding",
+        keep_cols=["type"],
+    )
+    removed = collated_sims.join(
+        sims_ad.select("id1", "id2").distinct(), ["id1", "id2"], "left_anti"
+    )
+    plate = population.select("id", "Metadata_Plate")
+    removed_annot = (
+        removed.join(
+            plate.select(
+                F.col("id").alias("id1"), F.col("Metadata_Plate").alias("p1")
+            ),
+            "id1",
+        ).join(
+            plate.select(
+                F.col("id").alias("id2"), F.col("Metadata_Plate").alias("p2")
+            ),
+            "id2",
+        )
+    )
+    assert removed_annot.filter(F.col("p1") != F.col("p2")).count() == 0
+    types = {r[0] for r in removed.select("type").distinct().collect()}
+    assert types == {"rep"}
+    assert removed.count() > 0
+
+
 def test_collate_mean(collated_sims):
     """test-sim_collate.R:226: mean(collated_sim$sim) == 0.1040035."""
     got = collated_sims.agg(F.mean("sim")).collect()[0][0]
