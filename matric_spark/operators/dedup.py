@@ -9,11 +9,15 @@ Scale design (the part that matters at 100 TB):
   (shuffle keyed by shingle), NOT an O(N²) cross join; the count of
   candidate pairs is sum_sh C(df_sh, 2), controlled by dropping ultra-hot
   shingles (`max_df`) — the classic stop-shingle cut that also kills skew.
-- MinHash+LSH: per-doc signatures as narrow array transforms over the
-  staged shingle-hash arrays (no explode on the hot path); candidates
-  come from equi-joins on band_hash (band_idx folded into the Horner
-  band hash), so the shuffle key is the band bucket — tiny and uniform.
-  Verification joins only the candidate set back to shingle sets.
+- MinHash+LSH: per-doc signatures + band hashes from ONE vectorized
+  Arrow pass over the staged shingle-hash arrays (banded_minhash_arrays;
+  bounded per-row memory via shingle-axis chunking — the sole Python
+  stage on this hot path, chosen over 125 JVM array_min/transform
+  columns whose CodegenFallback lambdas and plan-compile latency were
+  measured slower); candidates come from equi-joins on band_hash
+  (band_idx folded into the Horner band hash), so the shuffle key is
+  the band bucket — tiny and uniform. Verification joins only the
+  candidate set back to shingle sets.
 - hashing: one md5 per TOKEN, then pure int64 Horner combines for
   shingle/window/band hashes (functions/hashing.shingle_hashes_of) —
   mirrored bit-for-bit by the DuckDB oracle; no per-shingle string
@@ -580,15 +584,33 @@ def banded_minhash_arrays(
     a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
 
+    # per-slice working set: num_hashes × _MINHASH_CHUNK int64s (~4 MB at
+    # 125 hashes) regardless of document length — a 1M-shingle outlier
+    # doc must not allocate a (num_hashes × 1e6) matrix in the worker
+    _MINHASH_CHUNK = 4096
+
     @pandas_udf("array<long>")
     def _band_hashes(col: pd.Series) -> pd.Series:
         out: list = []
         for arr in col:
+            # NULL harr (a NULL-text row: split/transform propagate NULL)
+            # emits no bands, matching the exploded path where a NULL
+            # array explodes to zero rows
+            if arr is None:
+                out.append([])
+                continue
             hv = np.asarray(arr, dtype=np.int64)
             if hv.size == 0:
                 out.append([])
                 continue
-            mins = ((a_vec * hv[None, :] + b_vec) % HASH_PRIME).min(axis=1)
+            mins = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+            for s in range(0, hv.size, _MINHASH_CHUNK):
+                seg = hv[None, s : s + _MINHASH_CHUNK]
+                np.minimum(
+                    mins,
+                    ((a_vec * seg + b_vec) % HASH_PRIME).min(axis=1),
+                    out=mins,
+                )
             m = mins.reshape(bands, rows)  # row b = mh_{b*rows}..mh_{b*rows+rows-1}
             acc = np.arange(bands, dtype=np.int64)  # polynomial leads with band_idx
             for r in range(rows):

@@ -193,6 +193,52 @@ def test_banded_minhash_arrow_matches_column_path(spark, tiny_docs):
         assert got == want and len(got) == 5 * bands
 
 
+def test_minhash_lsh_null_text_and_long_docs(spark, tiny_docs):
+    """Regressions for the Arrow band-hash pass: (a) a NULL-text row
+    (split/transform propagate NULL into a NULL harr) must emit no bands
+    and no pairs instead of crashing the Python worker; (b) a document
+    whose shingle array spans multiple chunk slices must hash identically
+    to the unchunked JVM column path (the chunked running-min is
+    value-identical, not just approximately so)."""
+    from matric_spark.operators.dedup import (
+        _banded,
+        banded_minhash_arrays,
+        minhash_lsh_pairs,
+        minhash_signatures_from_arrays,
+        shingle_hash_arrays,
+    )
+
+    with_null = tiny_docs.unionByName(
+        spark.createDataFrame(
+            [(9, None, "en", "s9")],
+            "doc_id long, text string, lang string, source string",
+        )
+    )
+    pairs = minhash_lsh_pairs(with_null, 0.5).collect()
+    assert {(r.id1, r.id2) for r in pairs} and not any(
+        9 in (r.id1, r.id2) for r in pairs
+    )
+
+    # ~12k tokens → ~12k distinct 3-shingles: several 4096-wide slices
+    long_text = " ".join(f"w{i}" for i in range(12000))
+    long_docs = spark.createDataFrame(
+        [(0, long_text), (1, long_text + " tail words appended")],
+        "doc_id long, text string",
+    )
+    harr = shingle_hash_arrays(long_docs, n=3)
+    got = sorted(
+        (r.doc_id, r.band_hash)
+        for r in banded_minhash_arrays(harr, 32, 8).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.band_hash)
+        for r in _banded(
+            minhash_signatures_from_arrays(harr, 32), 4, 8
+        ).collect()
+    )
+    assert got == want and len(got) == 16
+
+
 def test_minhash_lsh_against_cross_set(spark, tiny_docs):
     """Incremental dedup: new batch = docs {1, 2, 3}, corpus = {0, 4}.
     1 is an exact dup of 0/4 (j=1.0), 2 a near-dup of both (8/9), 3
