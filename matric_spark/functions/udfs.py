@@ -5,12 +5,39 @@ type-hint inference needs evaluated (non-string) annotations.
 
 Every UDF in the engine lives here so the Python boundary is auditable:
 each one processes whole Arrow batches with numpy (no per-row Python),
-per the north rule.
+per the north rule. Every UDF is NULL-tolerant: a NULL input vector
+(NULL embedding, or the NULL that `ann._normalized` leaves for a
+zero-norm row) yields a NULL output for that row instead of crashing the
+worker on np.stack(None) — callers additionally pre-filter NULLs so the
+mask path is cold.
 """
 
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+
+
+def _stack_masked(v: pd.Series):
+    """(matrix, mask) for an Arrow batch whose vectors may be NULL.
+
+    mask is None when the batch is NULL-free (the hot path: one np.stack,
+    no row scan copies); otherwise mask[i] marks non-NULL rows and matrix
+    holds only those (or None if the whole batch is NULL)."""
+    vals = v.to_numpy()
+    mask = np.array([x is not None for x in vals], dtype=bool)
+    if mask.all():
+        return np.stack(vals).astype(np.float64), None
+    if not mask.any():
+        return None, mask
+    return np.stack(vals[mask]).astype(np.float64), mask
+
+
+def _scatter(result_list: list, mask, n: int) -> pd.Series:
+    """Re-expand masked results to batch length with None holes."""
+    out = np.full(n, None, dtype=object)
+    if result_list is not None:
+        out[np.flatnonzero(mask)] = result_list
+    return pd.Series(out, dtype=object)
 
 
 def make_hyperplane_signature_udf(planes: "np.ndarray"):
@@ -21,9 +48,14 @@ def make_hyperplane_signature_udf(planes: "np.ndarray"):
 
     @pandas_udf("long")
     def sig(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat, mask = _stack_masked(v)
+        if mat is None:
+            return pd.Series([None] * len(v), dtype=object)
         bits = (mat @ planes.T >= 0.0).astype(np.int64)
-        return pd.Series(bits @ weights)
+        vals = bits @ weights
+        if mask is None:
+            return pd.Series(vals)
+        return _scatter(list(vals), mask, len(v))
 
     return sig
 
@@ -42,10 +74,14 @@ def make_hyperplane_bands_udf(planes: "np.ndarray", n_bands: int, band_bits: int
 
     @pandas_udf("array<long>")
     def bands(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat, mask = _stack_masked(v)
+        if mat is None:
+            return pd.Series([None] * len(v), dtype=object)
         bits = (mat @ planes.T >= 0.0).astype(np.int64)
         vals = bits.reshape(len(mat), n_bands, band_bits) @ weights
-        return pd.Series(list(vals))
+        if mask is None:
+            return pd.Series(list(vals))
+        return _scatter(list(vals), mask, len(v))
 
     return bands
 
@@ -60,8 +96,13 @@ def make_centroid_assign_udf(centroids: "np.ndarray"):
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)
-        return pd.Series((mat @ cent).argmax(axis=1).astype(np.int32))
+        mat, mask = _stack_masked(v)
+        if mat is None:
+            return pd.Series([None] * len(v), dtype=object)
+        vals = (mat @ cent).argmax(axis=1).astype(np.int32)
+        if mask is None:
+            return pd.Series(vals)
+        return _scatter(list(vals), mask, len(v))
 
     return assign
 
@@ -74,13 +115,17 @@ def make_centroid_probe_udf(centroids: "np.ndarray", nprobe: int):
 
     @pandas_udf("array<int>")
     def probe(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64)
+        mat, mask = _stack_masked(v)
+        if mat is None:
+            return pd.Series([None] * len(v), dtype=object)
         sims = mat @ cent  # (batch, k)
         p = min(nprobe, sims.shape[1])
         top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
         row_sims = np.take_along_axis(sims, top, axis=1)
         order = np.lexsort((top, -row_sims), axis=1)
         cells = np.take_along_axis(top, order, axis=1).astype(np.int32)
-        return pd.Series(list(cells))
+        if mask is None:
+            return pd.Series(list(cells))
+        return _scatter(list(cells), mask, len(v))
 
     return probe

@@ -347,11 +347,18 @@ def ann_topk_ivf(
     assign = make_centroid_assign_udf(cent)
     probe = make_centroid_probe_udf(cent, nprobe)
 
-    e = _normalized(emb, id_col, vec_col, "vec_id", "v").withColumn(
-        "cell", assign(F.col("v"))
+    # isNotNull guards: _normalized leaves v NULL for zero-norm or NULL
+    # embeddings — such rows can never score and must not reach the
+    # assign/probe UDFs (which map NULL→NULL but then join nothing)
+    e = (
+        _normalized(emb, id_col, vec_col, "vec_id", "v")
+        .filter(F.col("v").isNotNull())
+        .withColumn("cell", assign(F.col("v")))
     )
-    q = _normalized(queries, id_col, vec_col, "qid", "qv").select(
-        "qid", "qv", F.explode(probe(F.col("qv"))).alias("cell")
+    q = (
+        _normalized(queries, id_col, vec_col, "qid", "qv")
+        .filter(F.col("qv").isNotNull())
+        .select("qid", "qv", F.explode(probe(F.col("qv"))).alias("cell"))
     )
     scored = (
         e.join(F.broadcast(q) if broadcast_queries else q, "cell")
@@ -387,7 +394,12 @@ def embedding_near_dup_lsh(
     cosine ≥ threshold, so precision is always exact; only recall is
     probabilistic.
     """
-    normed = _normalized(emb, id_col, vec_col, "vec_id", "v")
+    # isNotNull guard: see ann_topk_ivf — NULL/zero-norm rows can never
+    # verify above any threshold, so they are dropped before the
+    # signature UDF rather than carried as NULL bands
+    normed = _normalized(emb, id_col, vec_col, "vec_id", "v").filter(
+        F.col("v").isNotNull()
+    )
     cand = lsh_candidate_pairs(
         normed,
         dim,

@@ -330,6 +330,31 @@ def test_embedding_near_dup_lsh_recall(spark, tiny_vectors):
     assert lsh == exact
 
 
+def test_ann_null_and_zero_norm_embeddings(spark, tiny_vectors):
+    """NULL and zero-norm embedding rows must be inert — dropped before
+    the signature/assign/probe UDFs, never crashing the Arrow worker and
+    never appearing in any output pair (regression: np.stack(None)
+    raised TypeError inside the matmul UDFs)."""
+    from matric_spark.operators.ann import (
+        ann_topk_ivf,
+        embedding_near_dup_lsh,
+    )
+
+    dirty = tiny_vectors.unionByName(
+        spark.createDataFrame(
+            [(90, None), (91, [0.0, 0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    lsh = embedding_near_dup_lsh(dirty, dim=4, threshold=0.9).collect()
+    assert {r.id1 for r in lsh} | {r.id2 for r in lsh} <= {0, 1, 2, 3, 4}
+    assert len(lsh) > 0
+
+    topk = ann_topk_ivf(dirty, dirty, k=2, n_centroids=2, nprobe=2).collect()
+    ids = {r.qid for r in topk} | {r.vec_id for r in topk}
+    assert ids and 90 not in ids and 91 not in ids
+
+
 def test_embedding_near_dup_lsh_planted_recall(spark):
     """Recall bound at the default (sub-quadratic) parametrization:
     12 bands × 16 bits = 65,536 buckets per band. 40 planted clusters of
