@@ -199,10 +199,24 @@ def pairwise_blocked(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            x1 = np.stack(pdf["_v1"].to_numpy())
-            x2 = np.stack(pdf["_v2"].to_numpy())
             res = pdf[out_cols].copy()
-            res["sim"] = fn(x1, x2)
+            v1, v2 = pdf["_v1"].to_numpy(), pdf["_v2"].to_numpy()
+            # NULL-vector rows get sim=NULL (the JVM kernel path's
+            # semantics: _kernel_expr over a NULL array is NULL) instead
+            # of crashing np.stack; the NULL-free batch is the hot path
+            ok = np.array(
+                [a is not None and b is not None for a, b in zip(v1, v2)],
+                dtype=bool,
+            )
+            if ok.all():
+                res["sim"] = fn(np.stack(v1), np.stack(v2))
+            elif ok.any():
+                sim = np.full(len(pdf), np.nan)
+                sim[ok] = fn(np.stack(v1[ok]), np.stack(v2[ok]))
+                res["sim"] = sim
+                res.loc[~ok, "sim"] = None
+            else:
+                res["sim"] = None
             yield res
 
     return joined.mapInPandas(run, out_schema)

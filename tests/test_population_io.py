@@ -162,6 +162,25 @@ def test_blocked_kernels_match_expression_path(spark):
             assert blocked[k] == pytest.approx(expr[k], rel=1e-9), (kernel, k)
 
 
+def test_blocked_kernel_null_vector_rows(spark):
+    """A NULL feature vector yields sim=NULL for its pairs (the JVM
+    kernel path's semantics) instead of crashing np.stack in the Arrow
+    worker; NULL-free pairs in the same batch still compute."""
+    from matric_spark.operators.pairs import all_pairs
+    from matric_spark.operators.sparse import pairwise_blocked
+
+    pop = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, None)],
+        "id long, features array<double>",
+    )
+    out = {
+        (r.id1, r.id2): r.sim
+        for r in pairwise_blocked(all_pairs(pop), pop, "cosine").collect()
+    }
+    assert out[(1, 2)] == pytest.approx(0.98386991, rel=1e-6)
+    assert out[(1, 3)] is None and out[(2, 3)] is None
+
+
 def test_custom_kernel_plug_point(spark):
     from matric_spark.operators.pairs import all_pairs
     from matric_spark.operators.sparse import pairwise_blocked
