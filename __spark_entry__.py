@@ -1664,6 +1664,70 @@ def q_emb_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_integrity(_emb(spark, sf_dir), expected_dim=64)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal Arrow path (mapInPandas over binary payload +
+    typed meta struct) gated on VALUES: frame-sample every video derived
+    deterministically from `documents` (multimodal.media_from_documents)
+    and emit (media_id, frame_idx, ts_ms, n_bytes). The DuckDB oracle
+    reproduces the fan-out in closed form — frame count and timestamps
+    from meta.duration_ms, and n_bytes = width*height because the stub
+    decoder emits one uint8 per pixel — so the batch-local explode
+    inside the Arrow iterator (the real plumbing a codec would plug
+    into) is value-hash-checked end to end."""
+    from matric_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "ts_ms",
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+def q_multimodal_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant + completeness twin for `image_features`: every image
+    row must yield exactly one feature vector with dim == 16,
+    sum(features) == 1 (the stub decode is a normalized histogram) and
+    no negative bin; rows violating either, plus images MISSING from the
+    output (left-anti — an empty mapInPandas result must not pass
+    vacuously), form the violation set checked against an empty
+    oracle. Same gating style as emb_lsh_soundness."""
+    from matric_spark.operators.multimodal import (
+        FEATURE_DIM,
+        image_features,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    images = media.filter(F.col("kind") == "image").select("media_id")
+    checked = image_features(media).select(
+        "media_id",
+        F.size("features").alias("n_feat"),
+        F.aggregate(
+            "features", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ).alias("sum_feat"),
+        F.array_min("features").alias("min_feat"),
+    )
+    bad = checked.filter(
+        (F.col("n_feat") != FEATURE_DIM)
+        | (F.abs(F.col("sum_feat") - 1.0) > 1e-3)
+        | (F.col("min_feat") < 0)
+    ).select("media_id", "n_feat", "sum_feat")
+    missing = images.join(
+        checked.select("media_id"), "media_id", "left_anti"
+    ).select(
+        "media_id",
+        F.lit(None).cast("int").alias("n_feat"),
+        F.lit(None).cast("double").alias("sum_feat"),
+    )
+    return _round6(bad.unionByName(missing), ["sum_feat"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Name -> (spark, sf_dir) -> DataFrame, one entry per gated query.
 
@@ -1704,7 +1768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_session_errors": q_events_session_errors,
-        "events_rolling": q_events_rolling,
+        # multimodal joins the prefix here (events stays covered by six
+        # entries; events_rolling moved to the tail)
+        "multimodal_frames": q_multimodal_frames,
         "events_drift": q_events_drift,
         "events_funnel": q_events_funnel,
         # streaming joins the prefix here (events stays covered by the
@@ -1740,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_tool_violations": q_ref_tool_violations,
         "events_asof_fwd": q_events_asof_fwd,
         "events_emd": q_events_emd,
+        "events_rolling": q_events_rolling,
+        "multimodal_soundness": q_multimodal_soundness,
         "doc_sample_strat": q_doc_sample_strat,
         "doc_sample_weighted": q_doc_sample_weighted,
         "doc_sample_topk": q_doc_sample_topk,
@@ -1814,7 +1882,8 @@ _MEDIUM_QUERIES = {
     "doc_repetition", "doc_text_stats", "drift_emd", "drift_ks",
     "drift_psi", "emb_dedup_clusters", "emb_near_dup", "emb_near_dup_lsh",
     "events_drift",
-    "fd_violations", "heavy_hitters", "quarantine_summary",
+    "fd_violations", "heavy_hitters", "multimodal_soundness",
+    "quarantine_summary",
     "ref_role_violations", "ref_tool_violations", "role_transitions",
     "seq_out_of_order", "signif_monotonic", "sim_collate",
     "sim_collate_alldiff", "sim_cosine_strata", "sim_euclidean_strata",
@@ -1856,6 +1925,7 @@ def queries_manifest() -> dict[str, dict[str, str]]:
         "quarantine": "verdict_suite", "fd": "constraints",
         "rule": "constraints", "fk": "referential", "robust": "column_stats",
         "ingest": "corpus_curation", "streaming": "streaming",
+        "multimodal": "multimodal",
     }
     sql_keys = set(oracle_sql())
     out: dict[str, dict[str, str]] = {}
@@ -2456,6 +2526,27 @@ WHERE 1 = 0"""
 SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS label1,
        CAST(NULL AS DOUBLE) AS stat, CAST(NULL AS DOUBLE) AS nlog10p
 WHERE 1 = 0"""
+
+    # multimodal: closed-form mirror of multimodal.media_from_documents
+    # (kind = [image,audio,video][doc_id%3], width = 8+(doc_id%4)*4,
+    # height = 8+(doc_id%3)*4, duration_ms = 3000+(doc_id%5)*1000) —
+    # the sample_frames fan-out and decoded byte counts are therefore
+    # SQL-expressible even though the Spark side runs them through the
+    # real Arrow mapInPandas pipeline.
+    sql["multimodal_frames"] = """
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS INT) AS ts_ms,
+       CAST((8 + (doc_id % 4) * 4) * (8 + (doc_id % 3) * 4) AS BIGINT)
+           AS n_bytes
+FROM (
+    SELECT doc_id, unnest(range(3 + (doc_id % 5))) AS i
+    FROM documents
+    WHERE doc_id IS NOT NULL AND doc_id % 3 = 2
+)"""
+    sql["multimodal_soundness"] = """
+SELECT CAST(NULL AS BIGINT) AS media_id, CAST(NULL AS INT) AS n_feat,
+       CAST(NULL AS DOUBLE) AS sum_feat WHERE 1 = 0"""
 
     # ---- matric-parity sim suite ----
     sql["sim_cosine_strata"] = dk.sim_strata_sql("cosine")

@@ -178,6 +178,49 @@ def audio_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the `documents` table with
+    built-in column ops only (no UDF, no external data): payload is the
+    UTF-8 bytes of `text`, kind round-robins image/audio/video on
+    doc_id, and the meta struct is a closed-form function of doc_id.
+
+    This is the gate harness for the multimodal path: because every
+    field is a pure SQL expression of (doc_id, text), a DuckDB oracle
+    can reproduce the *outputs* of the Arrow pipelines exactly —
+    `sample_frames` fan-out (frame count/timestamps from
+    meta.duration_ms, decoded frame bytes = width*height) — turning the
+    mapInPandas plumbing from pytest-only into a value-hash-gated
+    surface. Mapping (mirrored in __spark_entry__.oracle_sql):
+    kind = [image,audio,video][doc_id % 3]; width = 8 + (doc_id % 4)*4;
+    height = 8 + (doc_id % 3)*4; duration_ms = 3000 + (doc_id % 5)*1000.
+    """
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + F.lit(1)).cast("int"),
+    )
+    meta = F.struct(
+        (F.lit(8) + F.pmod(F.col("doc_id"), F.lit(4)) * 4)
+        .cast("int")
+        .alias("width"),
+        (F.lit(8) + F.pmod(F.col("doc_id"), F.lit(3)) * 4)
+        .cast("int")
+        .alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        (F.lit(3000) + F.pmod(F.col("doc_id"), F.lit(5)) * 1000)
+        .cast("int")
+        .alias("duration_ms"),
+        F.lit("fake").alias("codec"),
+    )
+    return docs.filter(F.col("doc_id").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias(
+            "payload"
+        ),
+        meta.alias("meta"),
+    )
+
+
 def synthetic_media(spark, n: int = 60) -> DataFrame:
     """Deterministic media table for tests (no external data): payloads
     derived from the row id; kinds round-robin image/audio/video."""

@@ -59,3 +59,29 @@ def test_real_decoder_gated(spark, media):
         image_features(media, decoder="pillow")
     with pytest.raises(NotImplementedError):
         sample_frames(media, decoder="ffmpeg")
+
+
+def test_media_from_documents_mapping(spark):
+    """The gate harness: kind/meta/payload must follow the closed-form
+    doc_id mapping mirrored in the DuckDB oracle, and NULL doc_id/text
+    must not break the binary column."""
+    from matric_spark.operators.multimodal import media_from_documents
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, None), (2, "gamma"), (None, "dropped"), (7, "x")],
+        "doc_id long, text string",
+    )
+    rows = {r.media_id: r for r in media_from_documents(docs).collect()}
+    assert set(rows) == {0, 1, 2, 7}  # NULL doc_id dropped
+    assert [rows[i].kind for i in (0, 1, 2, 7)] == [
+        "image", "audio", "video", "audio",
+    ]
+    assert rows[0].payload == b"alpha" and rows[1].payload == b""
+    m = rows[7].meta
+    assert (m.width, m.height, m.duration_ms) == (8 + 3 * 4, 8 + 1 * 4, 5000)
+    # frames of the derived table: fan-out count and byte size are the
+    # closed-form values the oracle asserts at sf0.01
+    fr = sample_frames(media_from_documents(docs), every_ms=1000).collect()
+    assert {r.media_id for r in fr} == {2}
+    assert sorted(r.ts_ms for r in fr) == [0, 1000, 2000, 3000, 4000]
+    assert all(len(r.payload) == rows[2].meta.width * rows[2].meta.height for r in fr)
