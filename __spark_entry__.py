@@ -1728,6 +1728,44 @@ def q_multimodal_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(bad.unionByName(missing), ["sum_feat"])
 
 
+_PAYLOAD_CONTRACT = dict(col="props", key="k", lo=0, hi=90)
+
+
+def q_events_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload-contract audit over events.props (required lexical-
+    integer key `k` in [0, 90)): per-event_type tiered counters + pass
+    verdict. The [0, 90) bound deliberately bites (~10% of the synthetic
+    k ∈ [0, 99] values fall outside), so the verdict and k-stats carry
+    real hash signal; engine-parity semantics of the JSON extraction are
+    documented in checks/payload.py."""
+    from matric_spark.checks.payload import json_payload_audit
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return json_payload_audit(ev, **_PAYLOAD_CONTRACT)
+
+
+def q_events_payload_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized payload-contract violation rows (first failing tier
+    per row) for the same contract as events_payload — the violation-row
+    complement of the verdict counters, like rule_violations is to
+    verdicts_extended."""
+    from matric_spark.checks.payload import json_payload_violations
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return json_payload_violations(ev, **_PAYLOAD_CONTRACT)
+
+
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between label cohorts (labels 0-4 vs 5-9):
+    per-dimension two-sample z on component means — the embedding-column
+    member of the drift family (drift_ks/psi/emd audit scalar columns).
+    One exploded scan, O(d) shuffle/output; see
+    checks/embedding.embedding_cohort_drift."""
+    from matric_spark.checks.embedding import embedding_cohort_drift
+
+    return embedding_cohort_drift(_emb(spark, sf_dir), F.col("label") < 5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Name -> (spark, sf_dir) -> DataFrame, one entry per gated query.
 
@@ -1755,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "partition_volume": q_partition_volume,
         "emb_integrity": q_emb_integrity,
+        "emb_drift": q_emb_drift,
         "text_parity": q_text_parity,
         "verdicts": q_verdicts,
         "fk_summary": q_fk_summary,
@@ -1772,6 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries; events_rolling moved to the tail)
         "multimodal_frames": q_multimodal_frames,
         "events_drift": q_events_drift,
+        "events_payload": q_events_payload,
+        "events_payload_violations": q_events_payload_violations,
         "events_funnel": q_events_funnel,
         # streaming joins the prefix here (events stays covered by the
         # seven entries above; events_retention moved to the tail)
@@ -1792,15 +1833,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_chunks": q_pack_chunks,
         "dedup_clusters": q_dedup_clusters,
-        "cluster_stats": q_cluster_stats,
-        "cluster_canonical": q_cluster_canonical,
-        "emb_dedup_clusters": q_emb_dedup_clusters,
         "doc_split_assign": q_doc_split_assign,
         # drift + sim_suite representatives pulled into the 50-entry
         # prefix so a prefix-sampling driver touches every family
         "drift_ks": q_drift_ks,
         "sim_cosine_strata": _q_sim_strata("cosine"),
         "incremental_verdicts_extended": q_incremental_verdicts_extended,
+        # dedup-family extras displaced below the prefix by the round-4
+        # payload/emb_drift additions (dedup_clusters keeps the family
+        # represented above)
+        "cluster_stats": q_cluster_stats,
+        "cluster_canonical": q_cluster_canonical,
+        "emb_dedup_clusters": q_emb_dedup_clusters,
         "events_retention": q_events_retention,
         "streaming_sessions": q_streaming_sessions,
         "ref_tool_violations": q_ref_tool_violations,
@@ -2576,6 +2620,83 @@ FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
     # ... and so must the micro-batched streaming run (same assembled
     # verdict table, cross-batch state folds notwithstanding)
     sql["streaming_verdicts"] = sql["verdicts"]
+
+    # JSON payload contract (checks/payload.py) — tier flags mirror the
+    # Spark side exactly: get_json_object('$') IS NOT NULL ≡ json_valid,
+    # get_json_object('$.k') ≡ json_extract_string (quotes stripped,
+    # JSON null -> SQL NULL, missing key -> SQL NULL); json_valid is
+    # guarded behind props IS NOT NULL so a NULL column is false, not
+    # NULL, and json_extract_string behind json_valid because DuckDB
+    # errors on malformed documents where Spark returns NULL.
+    _payload_flags_sql = """
+f AS (SELECT event_type, event_id,
+             (props IS NOT NULL AND json_valid(props)) AS valid,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS raw
+      FROM events),
+g AS (SELECT event_type, event_id, valid,
+             (valid AND raw IS NOT NULL) AS has_key,
+             (valid AND raw IS NOT NULL
+              AND regexp_matches(raw, '^-?[0-9]+$')) AS is_int,
+             CASE WHEN valid AND raw IS NOT NULL
+                       AND regexp_matches(raw, '^-?[0-9]+$')
+                  THEN CAST(raw AS BIGINT) END AS k
+      FROM f),
+h AS (SELECT *, (is_int AND k >= 0 AND k < 90) AS in_range FROM g)"""
+
+    sql["events_payload"] = f"""WITH {_payload_flags_sql}
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_json,
+       CAST(sum(CASE WHEN has_key THEN 1 ELSE 0 END) AS BIGINT) AS n_has_key,
+       CAST(sum(CASE WHEN is_int THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+       CAST(sum(CASE WHEN in_range THEN 1 ELSE 0 END) AS BIGINT) AS n_in_range,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       (count(*) = sum(CASE WHEN in_range THEN 1 ELSE 0 END)) AS payload_pass
+FROM h GROUP BY event_type"""
+
+    sql["events_payload_violations"] = f"""WITH {_payload_flags_sql}
+SELECT CASE WHEN NOT valid THEN 'malformed_json'
+            WHEN NOT has_key THEN 'missing_key'
+            WHEN NOT is_int THEN 'not_int'
+            WHEN NOT in_range THEN 'out_of_range' END AS reason,
+       event_id, event_type
+FROM h WHERE NOT in_range"""
+
+    # per-dimension embedding cohort drift (checks/embedding.py) — the
+    # zipped double-unnest reproduces posexplode; components cast to
+    # DOUBLE before aggregation on both engines; drifted decided on the
+    # ROUNDED z so the boundary is engine-deterministic
+    sql["emb_drift"] = """
+WITH comp AS (
+  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS a,
+         CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE embedding IS NOT NULL),
+s AS (
+  SELECT dim,
+         CAST(count(*) FILTER (a = 1) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (a = 0) AS BIGINT) AS n_b,
+         avg(x) FILTER (a = 1) AS mean_a,
+         avg(x) FILTER (a = 0) AS mean_b,
+         stddev_samp(x) FILTER (a = 1) AS sd_a,
+         stddev_samp(x) FILTER (a = 0) AS sd_b
+  FROM comp GROUP BY dim),
+zc AS (
+  SELECT *, (mean_a - mean_b)
+            / sqrt(sd_a * sd_a / n_a + sd_b * sd_b / n_b) AS z
+  FROM s)
+SELECT dim, n_a, n_b,
+       (round(mean_a, 6) + 0) AS mean_a,
+       (round(mean_b, 6) + 0) AS mean_b,
+       (round(sd_a, 6) + 0) AS sd_a,
+       (round(sd_b, 6) + 0) AS sd_b,
+       (round(abs(mean_a - mean_b), 6) + 0) AS shift,
+       (round(z, 6) + 0) AS z,
+       coalesce(abs(round(z, 6)) > 3, FALSE) AS drifted
+FROM zc"""
 
     sql["events_stats"] = """
 SELECT event_type,

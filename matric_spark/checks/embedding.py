@@ -21,7 +21,7 @@ counters per group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -88,4 +88,68 @@ def embedding_integrity(
         F.min("_norm").alias("min_norm"),
         F.max("_norm").alias("max_norm"),
         (F.round(F.avg("_norm"), 6) + F.lit(0.0)).alias("avg_norm"),
+    )
+
+
+def embedding_cohort_drift(
+    emb: DataFrame,
+    cohort: Column,
+    vec_col: str = "embedding",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-dimension two-sample mean-shift audit between two cohorts —
+    the embedding-space member of the drift family (checks/drift.py does
+    KS/PSI/EMD on scalar columns; an embedding column drifts per
+    DIMENSION, and a retrained or corrupted encoder shows up as a mean
+    shift long before scalar metadata moves).
+
+    ``cohort`` is a boolean Column splitting the table (true = cohort a,
+    false/NULL = cohort b). Returns one row per dimension:
+    (dim, n_a, n_b, mean_a, mean_b, sd_a, sd_b, shift, z, drifted) where
+    z is the two-sample z statistic (mean_a−mean_b)/√(sd_a²/n_a+sd_b²/n_b)
+    and ``drifted`` flags |round(z,6)| > z_threshold — the rounded value
+    so the boundary decision is engine-deterministic.
+
+    Scale design: one scan — NULL vectors are dropped, the (flag,
+    component) pairs fan out via posexplode INSIDE the codegen stage and
+    hash-aggregate with map-side combine, so the shuffle is d rows ×
+    partitions of partial sums, never the vectors. d is the embedding
+    width (constant), so output and shuffle are O(d), independent of
+    table size. Components cast to double BEFORE aggregation on both
+    engines (float32 parity discipline, CLAUDE.md).
+    """
+    a = F.when(cohort, F.lit(1)).otherwise(F.lit(0))
+    comp = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(a.alias("_a"), F.posexplode(vec_col).alias("dim", "_x"))
+        .select("_a", "dim", F.col("_x").cast("double").alias("x"))
+    )
+    in_a = F.col("_a") == 1
+    in_b = F.col("_a") == 0
+    agg = comp.groupBy("dim").agg(
+        F.count(F.when(in_a, F.lit(1))).alias("n_a"),
+        F.count(F.when(in_b, F.lit(1))).alias("n_b"),
+        F.avg(F.when(in_a, F.col("x"))).alias("_mean_a"),
+        F.avg(F.when(in_b, F.col("x"))).alias("_mean_b"),
+        F.stddev_samp(F.when(in_a, F.col("x"))).alias("_sd_a"),
+        F.stddev_samp(F.when(in_b, F.col("x"))).alias("_sd_b"),
+    )
+    z = (F.col("_mean_a") - F.col("_mean_b")) / F.sqrt(
+        F.col("_sd_a") * F.col("_sd_a") / F.col("n_a")
+        + F.col("_sd_b") * F.col("_sd_b") / F.col("n_b")
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "dim",
+        "n_a",
+        "n_b",
+        r6(F.col("_mean_a")).alias("mean_a"),
+        r6(F.col("_mean_b")).alias("mean_b"),
+        r6(F.col("_sd_a")).alias("sd_a"),
+        r6(F.col("_sd_b")).alias("sd_b"),
+        r6(F.abs(F.col("_mean_a") - F.col("_mean_b"))).alias("shift"),
+        r6(z).alias("z"),
+        F.coalesce(
+            F.abs(F.round(z, 6)) > F.lit(z_threshold), F.lit(False)
+        ).alias("drifted"),
     )

@@ -563,3 +563,41 @@ def test_tfidf_topk_does_not_broadcast_vocab(spark, sf_dir):
     for m in sections:
         im = re.search(r"Input \[\d+\]: \[(.*?)\]", m.group(1))
         assert im and not re.search(r"\b(token|df)#\d+", im.group(1)), m.group(1)
+
+
+def test_payload_audit_is_single_aggregate_no_join(spark):
+    """The JSON payload audit is ONE codegen scan + partial/final
+    aggregate: no join, no UDF (get_json_object/rlike are JVM
+    expressions), and the violation emitter has no shuffle at all."""
+    from matric_spark.checks.payload import (
+        json_payload_audit,
+        json_payload_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", '{"k": 1}')], "event_id long, event_type string, props string"
+    )
+    p = plan(json_payload_audit(df, "props", "k", 0, 90))
+    assert p.count("HashAggregate (") == 2 and "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    pv = plan(json_payload_violations(df, "props", "k", 0, 90))
+    assert "Exchange" not in pv and "Join" not in pv
+
+
+def test_embedding_drift_shuffle_is_per_dim_partials(spark):
+    """embedding_cohort_drift's only exchange carries the per-dimension
+    partial aggregates (hashpartitioning on dim), never the vectors."""
+    import re
+
+    from matric_spark.checks.embedding import embedding_cohort_drift
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 1, [3.0, 4.0])],
+        "vec_id long, grp int, embedding array<float>",
+    )
+    p = plan(embedding_cohort_drift(df, F.col("grp") == 1))
+    assert p.count("HashAggregate (") == 2 and "Join" not in p
+    ex = re.findall(r"\n\(\d+\) Exchange\n(.*?)(?=\n\(\d+\) |\Z)", p, re.S)
+    assert len(ex) == 1 and "hashpartitioning(dim" in ex[0]
+    im = re.search(r"Input \[\d+\]: \[(.*?)\]", ex[0])
+    assert im and "embedding#" not in im.group(1), im.group(1)
