@@ -196,3 +196,74 @@ def test_cms_never_underestimates_property(spark, keys):
     est = cms_estimate(cms_build(df, "k"), exact.select("k"), "k")
     for r in exact.join(est, "k").collect():
         assert r.cms_est >= r.n
+
+
+_PAYLOADS = st.one_of(
+    st.integers(-200, 200).map(lambda n: f'{{"k": {n}}}'),
+    st.integers(-200, 200).map(lambda n: f'{{"k": "{n}"}}'),
+    st.integers(0, 99).map(lambda n: f'{{"k": {n}.5}}'),
+    st.sampled_from(
+        [
+            '{"k": true}', '{"k": null}', '{"j": 3}', "{}",
+            "{", '{"k": }', "", "not json", "5", '"x"', None,
+        ]
+    ),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), _PAYLOADS), min_size=1, max_size=30
+    )
+)
+def test_payload_audit_parity_and_reconciliation(spark, rows):
+    """Randomized payloads: (1) the audit's tier counters are nested,
+    (2) the violation rows reconcile exactly with the counter deltas,
+    (3) the DuckDB oracle SQL computes the identical audit table —
+    generative coverage of the engine-parity corners the fixed-case
+    tests pin."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from matric_spark.checks.payload import (
+        json_payload_audit,
+        json_payload_violations,
+    )
+
+    data = [(i, t, p) for i, (t, p) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "event_id long, event_type string, props string"
+    )
+    audit = {
+        r.event_type: r
+        for r in json_payload_audit(df, "props", "k", 0, 90).collect()
+    }
+    for r in audit.values():
+        assert r.n >= r.n_valid_json >= r.n_has_key >= r.n_int >= r.n_in_range
+        assert r.payload_pass == (r.n == r.n_in_range)
+    reasons: dict[tuple[str, str], int] = {}
+    for v in json_payload_violations(df, "props", "k", 0, 90).collect():
+        reasons[(v.event_type, v.reason)] = (
+            reasons.get((v.event_type, v.reason), 0) + 1
+        )
+    for t, r in audit.items():
+        assert reasons.get((t, "malformed_json"), 0) == r.n - r.n_valid_json
+        assert reasons.get((t, "missing_key"), 0) == r.n_valid_json - r.n_has_key
+        assert reasons.get((t, "not_int"), 0) == r.n_has_key - r.n_int
+        assert reasons.get((t, "out_of_range"), 0) == r.n_int - r.n_in_range
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(data, columns=["event_id", "event_type", "props"]),
+    )
+    for dk in con.execute(e.oracle_sql()["events_payload"]).fetchall():
+        (t, n, nv, nh, ni, nr, mn, mx, sk, ok) = dk
+        r = audit[t]
+        assert (
+            n, nv, nh, ni, nr, mn, mx, sk, ok,
+        ) == (
+            r.n, r.n_valid_json, r.n_has_key, r.n_int, r.n_in_range,
+            r.min_k, r.max_k, r.sum_k, r.payload_pass,
+        )
