@@ -246,3 +246,25 @@ def rule_violation_stream(stream: DataFrame, rules=None, id_cols=None) -> DataFr
     )
 
     return rule_violations(stream, rules or default_transcript_rules(), id_cols)
+
+
+def payload_violation_stream(
+    stream: DataFrame,
+    col: str,
+    key: str,
+    lo: int,
+    hi: int,
+    id_cols=None,
+) -> DataFrame:
+    """JSON payload-contract monitor on a stream: checks/payload.
+    json_payload_violations applied to micro-batches.
+
+    Same streamability argument as rule_violation_stream: the payload
+    tiers compile to one codegen scan (get_json_object + regexp — no
+    shuffle, no window, no state), so append mode needs no watermark
+    and each violating row is emitted exactly once, in the micro-batch
+    it arrives in. Differential-tested streaming ≡ batch.
+    """
+    from matric_spark.checks.payload import json_payload_violations
+
+    return json_payload_violations(stream, col, key, lo, hi, id_cols)

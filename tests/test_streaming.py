@@ -276,3 +276,53 @@ def test_stream_rule_violations_match_batch(spark, tiny_transcripts, staged_stre
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_payload_violations_match_batch(spark, tmp_path):
+    """The JSON payload contract is stateless (one codegen scan), so
+    streaming it in append mode must emit exactly the batch violation
+    multiset — including malformed/missing/not-int tiers split across
+    micro-batches."""
+    from matric_spark.checks.payload import json_payload_violations
+    from matric_spark.streaming.validate import payload_violation_stream
+
+    rows = [
+        (0, "a", '{"k": 5}'),
+        (1, "a", '{"k": 95}'),
+        (2, "b", "{bad"),
+        (3, "b", '{"j": 1}'),
+        (4, "c", '{"k": 1.5}'),
+        (5, "c", None),
+    ]
+    ddl = "event_id long, event_type string, props string"
+    batch = spark.createDataFrame(rows, ddl)
+    src = str(tmp_path / "payload_stream")
+    # one file per row -> six micro-batches
+    batch.repartition(6, "event_id").write.parquet(src)
+    stream = (
+        spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        payload_violation_stream(stream, "props", "k", 0, 90)
+        .writeStream.format("memory")
+        .queryName("payload_viol")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.reason, r.event_id)
+        for r in spark.sql("SELECT * FROM payload_viol").collect()
+    )
+    want = sorted(
+        (r.reason, r.event_id)
+        for r in json_payload_violations(batch, "props", "k", 0, 90).collect()
+    )
+    assert got == want == [
+        ("malformed_json", 2),
+        ("malformed_json", 5),
+        ("missing_key", 3),
+        ("not_int", 4),
+        ("out_of_range", 1),
+    ]
