@@ -42,6 +42,42 @@ def _bus_ceiling() -> float | None:
         return None
 
 
+def compact_line(out: dict, budget: int = 1800) -> str:
+    """Serialize `out` to ONE JSON line no longer than `budget` chars.
+
+    The driver captures only the last ~2000 chars of combined output and
+    json-parses the final line; round 3's 101-entry `queries` dict pushed
+    the line past that window and the driver recorded `parsed: null`
+    (BENCH_r03.json) even though the full line was on stdout. Fix: keep
+    the headline fields intact, pack `queries` most-expensive-first
+    (flagship `verdicts` always included) until the serialized line hits
+    the budget, and report `n_queries` + a `queries_detail` pointer to
+    the sidecar file carrying the complete dict.
+    """
+    times = out.get("queries", {})
+    base = dict(out)
+    base["n_queries"] = len(times)
+    base["queries_detail"] = "BENCH_DETAIL.json"
+    order = sorted(times, key=lambda k: (-times[k], k))
+    if "verdicts" in times:
+        order.remove("verdicts")
+        order.insert(0, "verdicts")
+    kept: dict[str, float] = {}
+    base["queries"] = kept
+    line = json.dumps(base, separators=(",", ":"))
+    for name in order:
+        trial = dict(kept)
+        trial[name] = times[name]
+        base["queries"] = trial
+        cand = json.dumps(base, separators=(",", ":"))
+        if len(cand) > budget:
+            break
+        kept = trial
+        line = cand
+    base["queries"] = kept
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -104,7 +140,13 @@ def main() -> None:
         "bus_ceiling_pre": ceiling_pre,
         "bus_ceiling_post": ceiling_post,
     }
-    print(json.dumps(out))
+    # Full per-query detail goes to a sidecar for the judge; stdout gets
+    # one budget-capped line the driver's 2000-char tail can always parse.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(compact_line(out))
 
 
 if __name__ == "__main__":

@@ -122,3 +122,48 @@ def test_spark_submit_end_to_end(tmp_path):
     # completion log gains no rows under the second run_id
     comp = ds.dataset(os.path.join(state, "log")).to_table().to_pandas()
     assert set(comp["run_id"]) == {"r1"}, sorted(set(comp["run_id"]))
+
+
+def test_bench_compact_line_fits_driver_tail_window():
+    """BENCH_r03.json recorded `parsed: null`: the driver json-parses the
+    last line of a ~2000-char output tail, and a 100+-entry `queries`
+    dict overflows it. compact_line must stay under budget for any suite
+    size, keep the headline fields verbatim, always include the flagship
+    `verdicts` timing, and pack the most expensive queries first."""
+    import json
+
+    import bench
+
+    times = {f"query_with_a_long_name_{i:03d}": round(0.1 * i, 3) for i in range(150)}
+    times["verdicts"] = 0.05  # cheap flagship: must survive packing anyway
+    out = {
+        "metric": "full_constraint_suite_sec",
+        "value": 0.05,
+        "unit": "sec",
+        "queries": times,
+        "sf": "/root/testdata/sf0.1",
+        "n_turns": 600000,
+        "turns_per_sec": 12000000.0,
+        "verdicts_warm_sec": 0.04,
+        "turns_per_sec_warm": 15000000.0,
+        "total_sec": round(sum(times.values()), 3),
+        "cpus": "32",
+        "bus_ceiling_pre": 1.0,
+        "bus_ceiling_post": 0.9,
+    }
+    line = bench.compact_line(out, budget=1800)
+    assert len(line) <= 1800
+    assert "\n" not in line
+    parsed = json.loads(line)
+    assert parsed["value"] == 0.05
+    assert parsed["total_sec"] == out["total_sec"]
+    assert parsed["n_queries"] == 151
+    assert parsed["queries_detail"] == "BENCH_DETAIL.json"
+    assert "verdicts" in parsed["queries"]
+    kept = set(parsed["queries"]) - {"verdicts"}
+    dropped = set(times) - set(parsed["queries"])
+    if kept and dropped:  # most-expensive-first: every kept >= every dropped
+        assert min(times[k] for k in kept) >= max(times[k] for k in dropped)
+    # small suites serialize whole
+    small = {"queries": {"a": 1.0, "b": 2.0}, "value": 1.0}
+    assert json.loads(bench.compact_line(small))["queries"] == {"a": 1.0, "b": 2.0}
