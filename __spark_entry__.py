@@ -2627,8 +2627,10 @@ FROM transcripts WHERE text IS NOT NULL GROUP BY part_month"""
     # JSON null -> SQL NULL, missing key -> SQL NULL); json_valid is
     # guarded behind props IS NOT NULL so a NULL column is false, not
     # NULL, and json_extract_string behind json_valid because DuckDB
-    # errors on malformed documents where Spark returns NULL.
-    _payload_flags_sql = """
+    # errors on malformed documents where Spark returns NULL. The
+    # 18-digit bound + \z anchor mirror checks/payload._INT_RE exactly
+    # (overflow- and trailing-newline-parity — see that module's notes).
+    _payload_flags_sql = r"""
 f AS (SELECT event_type, event_id,
              (props IS NOT NULL AND json_valid(props)) AS valid,
              CASE WHEN props IS NOT NULL AND json_valid(props)
@@ -2637,9 +2639,9 @@ f AS (SELECT event_type, event_id,
 g AS (SELECT event_type, event_id, valid,
              (valid AND raw IS NOT NULL) AS has_key,
              (valid AND raw IS NOT NULL
-              AND regexp_matches(raw, '^-?[0-9]+$')) AS is_int,
+              AND regexp_matches(raw, '^-?[0-9]{1,18}\z')) AS is_int,
              CASE WHEN valid AND raw IS NOT NULL
-                       AND regexp_matches(raw, '^-?[0-9]+$')
+                       AND regexp_matches(raw, '^-?[0-9]{1,18}\z')
                   THEN CAST(raw AS BIGINT) END AS k
       FROM f),
 h AS (SELECT *, (is_int AND k >= 0 AND k < 90) AS in_range FROM g)"""

@@ -28,6 +28,16 @@ Engine parity notes (the reason the checks are LEXICAL, over
     string ``"87"`` passes it — a type-level check would need
     ``json_type``, which Spark lacks without schema inference. The
     lexical form is what both engines can state identically.
+  - the regex is bounded to 18 digits and anchored with ``\\z``, both
+    load-bearing for parity: an unbounded match lets 19+-digit values
+    through to ``CAST(... AS BIGINT)``, where Spark's non-ANSI cast
+    overflows to NULL (violating the non-null-flag contract and
+    silently dropping the violation row) while DuckDB raises and aborts
+    the whole oracle run; and Java's ``$`` matches before a trailing
+    newline (``"87\\n"`` would conform on Spark, violate on DuckDB's
+    RE2, which anchors ``$`` at end-of-text). 18 digits always fits
+    int64; longer values — including the 19-digit int64 boundary pair —
+    are classified ``not_int`` identically on both engines.
 
 Scale design: both operators are ONE codegen scan — get_json_object +
 regexp + casts, no UDF, no join. The audit's only shuffle is the
@@ -42,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_INT_RE = "^-?[0-9]+$"
+_INT_RE = r"^-?[0-9]{1,18}\z"
 
 
 def _payload_flags(

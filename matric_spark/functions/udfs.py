@@ -24,7 +24,10 @@ def _stack_masked(v: pd.Series):
     no row scan copies); otherwise mask[i] marks non-NULL rows and matrix
     holds only those (or None if the whole batch is NULL)."""
     vals = v.to_numpy()
-    mask = np.array([x is not None for x in vals], dtype=bool)
+    # C-level null scan (ndarray elements are never "na" to pandas) —
+    # a per-row `x is not None` comprehension here would put an
+    # interpreted loop on every batch of every vector UDF's hot path
+    mask = ~v.isna().to_numpy()
     if mask.all():
         return np.stack(vals).astype(np.float64), None
     if not mask.any():

@@ -211,10 +211,11 @@ def pairwise_blocked(
             if ok.all():
                 res["sim"] = fn(np.stack(v1), np.stack(v2))
             elif ok.any():
+                # ~ok positions stay NaN; Arrow's from_pandas maps
+                # float64 NaN to SQL NULL on the way back to the JVM
                 sim = np.full(len(pdf), np.nan)
                 sim[ok] = fn(np.stack(v1[ok]), np.stack(v2[ok]))
                 res["sim"] = sim
-                res.loc[~ok, "sim"] = None
             else:
                 res["sim"] = None
             yield res

@@ -32,6 +32,13 @@ CASES = [
     (11, "c", '{"k": 0}', None),
     (12, "c", '{"k": 89}', None),
     (13, "c", '{"k": 90}', "out_of_range"),  # hi is exclusive
+    # parity corners pinned by _INT_RE's 18-digit bound + \z anchor
+    # (see checks/payload.py engine-parity notes)
+    (14, "d", '{"k": 9223372036854775808}', "not_int"),  # > int64: no cast
+    (15, "d", '{"k": "9999999999999999999999"}', "not_int"),
+    (16, "d", '{"k": "87\\n"}', "not_int"),  # trailing newline in value
+    (17, "d", '{"k": "999999999999999999"}', "out_of_range"),  # 18 digits
+    (18, "d", '{"k": 89}', None),
 ]
 
 
@@ -58,7 +65,7 @@ def test_payload_audit_tiered_counters(spark):
         r.event_type: r
         for r in json_payload_audit(_ev(spark), "props", "k", 0, 90).collect()
     }
-    a, b, c = rows["a"], rows["b"], rows["c"]
+    a, b, c, d = rows["a"], rows["b"], rows["c"], rows["d"]
     assert (a.n, a.n_valid_json, a.n_has_key, a.n_int, a.n_in_range) == (
         4, 4, 4, 4, 2,
     )
@@ -70,11 +77,17 @@ def test_payload_audit_tiered_counters(spark):
     assert (c.n, c.n_valid_json, c.n_has_key, c.n_int, c.n_in_range) == (
         5, 5, 5, 3, 2,
     )
+    assert (d.n, d.n_valid_json, d.n_has_key, d.n_int, d.n_in_range) == (
+        5, 5, 5, 2, 1,
+    )
     assert not a.payload_pass and not b.payload_pass and not c.payload_pass
+    assert not d.payload_pass
     # k stats cover lexically-integer values only
     assert (a.min_k, a.max_k, a.sum_k) == (-3, 95, 266)
     assert (b.min_k, b.max_k, b.sum_k) == (None, None, None)
     assert (c.min_k, c.max_k, c.sum_k) == (0, 90, 179)
+    # 18-digit values cast exactly (no overflow by construction)
+    assert (d.min_k, d.max_k, d.sum_k) == (89, 10**18 - 1, 10**18 + 88)
 
 
 def test_payload_audit_all_pass_group(spark):

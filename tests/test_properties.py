@@ -206,6 +206,22 @@ _PAYLOADS = st.one_of(
         [
             '{"k": true}', '{"k": null}', '{"j": 3}', "{}",
             "{", '{"k": }', "", "not json", "5", '"x"', None,
+            # engine-parity corners (checks/payload._INT_RE notes):
+            # 19+-digit lexical ints must be not_int on BOTH engines —
+            # an unbounded regex would overflow Spark's cast to NULL
+            # and crash DuckDB's CAST outright
+            '{"k": 9223372036854775808}',      # > int64 max
+            '{"k": -9223372036854775808}',     # int64 min: 19 digits
+            '{"k": "9999999999999999999999"}',
+            # 17 digits (not 18): is_int + out_of_range, but small enough
+            # that 30 copies can't overflow sum_k's int64 on either
+            # engine (Spark wraps silently, DuckDB's CAST would raise);
+            # the 18-digit boundary itself is pinned in test_payload.py
+            '{"k": "99999999999999999"}',
+            # trailing newline: Java's $ would accept, RE2's would not;
+            # the \z anchor rejects on both
+            '{"k": "87\\n"}',
+            '{"k": "87 "}', '{"k": " 87"}', '{"k": "-0"}',
         ]
     ),
 )
