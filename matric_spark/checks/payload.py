@@ -90,6 +90,13 @@ def json_payload_audit(
     values only (well-defined independent of the range tier), and
     ``payload_pass`` is true iff every row in the group clears every
     tier.
+
+    ``sum_k`` is a diagnostic, exact while the group's running total
+    fits int64: each value is cast-safe by the 18-digit bound, but ~10+
+    near-bound OUT-OF-RANGE values in one group can wrap the sum (on a
+    contract-conforming table the [lo, hi) bound keeps it exact to
+    ~1e17 rows/group). Rely on the tier counters, not sum_k, for
+    pass/fail.
     """
     valid, has_key, is_int, in_range, k = _payload_flags(col, key, lo, hi)
     t = df.select(
