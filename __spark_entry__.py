@@ -917,6 +917,7 @@ def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end, upgrading the pytest differential (streaming ≡ batch,
     tests/test_streaming.py) to a value-hash oracle entry."""
     from matric_spark.streaming.validate import (
+        await_or_raise,
         stream_verdicts,
         validated_stream,
     )
@@ -936,7 +937,7 @@ def q_streaming_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{base}/ckpt",
         max_files_per_trigger=8,
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return _round6(stream_verdicts(spark, f"{base}/state"), ["metric"])
 
 
@@ -960,6 +961,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
         stream_sessionize,
     )
+    from matric_spark.streaming.validate import await_or_raise
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     base = _scratch("graft_stream_sess_")
@@ -980,7 +982,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return _round6(
         spark.read.parquet(out_dir).select(
             "user_id", "session_start", "session_end", "n_events", "total_value"
@@ -2729,7 +2731,14 @@ FROM s GROUP BY user_id, session_id"""
     # later same-user event (all but the user's last) plus the last
     # session iff its end+gap fell behind the end-of-stream watermark
     # (max ts - 2 h); see q_streaming_sessions for why this set is
-    # batch-split-independent
+    # batch-split-independent. The timeout predicate mirrors Spark's
+    # ms-floored arithmetic EXACTLY, not a timestamp INTERVAL compare:
+    # the sessionizer sets timeoutTs = end_us//1000 + gap_ms + 1 and
+    # Spark fires on timeoutTs < watermark_ms (strict), with
+    # watermark_ms = max_ts_us//1000 - delay_ms — µs-precision
+    # INTERVAL arithmetic here would diverge in a ~1-2 ms one-sided
+    # band for sessions whose end+gap lands right at the end-of-stream
+    # watermark (sub-ms event timestamps are the norm in events.ts).
     sql["streaming_sessions"] = f"""
 WITH sess0 AS ({_sessionize_sql}),
 sess AS (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
@@ -2738,7 +2747,8 @@ mx AS (SELECT max(ts) AS hi FROM events)
 SELECT user_id, session_start, session_end, n_events, total_value
 FROM sess, mx
 WHERE session_id < last_sid
-   OR session_end + INTERVAL 30 MINUTE < hi - INTERVAL 2 HOUR"""
+   OR (epoch_us(session_end) // 1000) + 1800000 + 1
+      < (epoch_us(hi) // 1000) - 7200000"""
 
     sql["events_asof_fwd"] = """
 WITH l AS (SELECT event_id, user_id, ts, value FROM events

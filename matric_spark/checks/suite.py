@@ -130,7 +130,15 @@ def conv_keyed_metrics(df: DataFrame, cfg: SuiteConfig) -> DataFrame:
 def run_verdicts(df: DataFrame, cfg: SuiteConfig | None = None) -> DataFrame:
     """The flagship query: per-(partition, check) verdict table
     (part, check_id, metric, status), every partition present for every
-    check, 'fail' iff the check's threshold is exceeded."""
+    check, 'fail' iff the check's threshold is exceeded.
+
+    Cache lifecycle is CALLER-OWNED: the drift sketch below is
+    persist()ed and consumed lazily by the returned plan, so it cannot
+    be unpersisted here — a long-lived driver invoking run_verdicts
+    repeatedly must release it between calls
+    (spark.catalog.clearCache(), as bench.py / tools/check_oracle.py /
+    tools/scaling_bench.py all do) or the storage pool accumulates one
+    sketch per invocation."""
     cfg = cfg or SuiteConfig()
     p = cfg.partition_col
 

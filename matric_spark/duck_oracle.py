@@ -48,6 +48,45 @@ def _token_h_sql(toks: str) -> str:
     return f"list_transform({toks}, t -> {hexbig('t')} % {HASH_PRIME})"
 
 
+def _token_md5_sql(toks: str) -> str:
+    """Raw 60-bit per-token md5 list mirroring functions/hashing.token_md5s."""
+    return f"list_transform({toks}, t -> {hexbig('t')})"
+
+
+_WIDE_SHIFT = 2147483648  # 2^31, == functions/hashing.WIDE_SHIFT
+
+
+def _wide_shingle_hashes_sql(thl: str, thh: str, n: int) -> str:
+    """Positional ~60-bit window-hash list mirroring
+    functions/hashing.wide_combine(shingle_hashes_of(lo),
+    shingle_hashes_of(hi)) bit-for-bit: two Horner chains over the
+    md5's low-31/high-29 token bit-halves, combined lo*2^31 + hi
+    (< 4.62e18, no int64 overflow). Used where window equality alone
+    decides duplication — see wide_combine's docstring."""
+
+    def _pair(lo_terms: list[str], hi_terms: list[str]) -> str:
+        return (
+            f"({_horner_sql(lo_terms)}) * {_WIDE_SHIFT} "
+            f"+ ({_horner_sql(hi_terms)})"
+        )
+
+    full = _pair(
+        [f"{thl}[i]" if j == 0 else f"{thl}[i+{j}]" for j in range(n)],
+        [f"{thh}[i]" if j == 0 else f"{thh}[i+{j}]" for j in range(n)],
+    )
+    cases = [
+        f"CASE WHEN len({thl}) >= {n} THEN "
+        f"[{full} for i in range(1, len({thl}) - {n - 1} + 1)]"
+    ]
+    for kk in range(n - 1, 0, -1):
+        h = _pair(
+            [f"{thl}[{j}]" for j in range(1, kk + 1)],
+            [f"{thh}[{j}]" for j in range(1, kk + 1)],
+        )
+        cases.append(f"WHEN len({thl}) = {kk} THEN [{h}]")
+    return " ".join(cases) + " END"
+
+
 def _horner_sql(terms: list[str]) -> str:
     acc = terms[0]
     for t in terms[1:]:
@@ -1049,8 +1088,8 @@ def duplicated_spans_sql(
     window: int = 8, src: str = "documents", extra_ctes: str = ""
 ) -> str:
     """Mirrors operators/dedup.duplicated_spans: width-`window` token
-    windows hashed with the shared token-Horner construction
-    (_shingle_hashes_sql); hashes occurring at
+    windows hashed with the wide two-chain Horner construction
+    (_wide_shingle_hashes_sql); hashes occurring at
     >1 (doc, position) flag their positions; flagged windows merge into
     maximal covered runs per doc via the identical island-merge window
     (pos is unique per doc, so no ORDER BY tie semantics to align).
@@ -1061,9 +1100,13 @@ def duplicated_spans_sql(
     return f"""
 WITH {extra_ctes}t AS (SELECT doc_id, string_split({norm}, ' ') AS toks
      FROM {src} WHERE text IS NOT NULL),
-tkh AS (SELECT doc_id, {_token_h_sql('toks')} AS th FROM t),
-base AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
-                {_shingle_hashes_sql('th', w)} AS sh
+tkm AS (SELECT doc_id, {_token_md5_sql('toks')} AS md FROM t),
+tkh AS (SELECT doc_id,
+               list_transform(md, x -> x % {HASH_PRIME}) AS thl,
+               list_transform(md, x -> x // {_WIDE_SHIFT}) AS thh
+        FROM tkm),
+base AS (SELECT doc_id, CAST(len(thl) AS BIGINT) AS n_tokens,
+                {_wide_shingle_hashes_sql('thl', 'thh', w)} AS sh
          FROM tkh),
 wins AS (
   SELECT doc_id, n_tokens, i - 1 AS pos, sh[i] AS h

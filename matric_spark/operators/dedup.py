@@ -407,18 +407,36 @@ def duplicated_spans(
     """
     from pyspark import StorageLevel
 
-    from matric_spark.functions.hashing import shingle_hashes_of, token_hashes
+    from matric_spark.functions.hashing import (
+        shingle_hashes_of,
+        token_hashes_hi,
+        token_hashes_lo,
+        token_md5s,
+        wide_combine,
+    )
 
+    # window hashes must be ~60-bit: duplication is decided by hash
+    # EQUALITY alone (no verify step), and a single 31-bit Horner chain
+    # birthday-saturates around ~10^5 windows — at corpus scale that
+    # mints false duplicate spans between unrelated docs. Two Horner
+    # chains over independent md5 bit-halves (one md5 per token, staged)
+    # combine to lo*2^31 + hi, restoring the md5_long(window) envelope
+    # this operator shipped with before the token-Horner rewrite.
     staged = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc_id"),
             F.split(normalized_text(text_col), " ").alias("_toks"),
         )
-        .select("doc_id", token_hashes(F.col("_toks")).alias("_th"))
+        .select("doc_id", token_md5s(F.col("_toks")).alias("_md"))
+        .select(
+            "doc_id",
+            token_hashes_lo(F.col("_md")).alias("_th"),
+            token_hashes_hi(F.col("_md")).alias("_thh"),
+        )
     )
     base = staged.select(
-        "doc_id", F.size("_th").cast("long").alias("n_tokens"), "_th"
+        "doc_id", F.size("_th").cast("long").alias("n_tokens"), "_th", "_thh"
     )
     # `wins` feeds three consumers (dup-hash counts, position flagging,
     # doc sizes); persist so the upstream — potentially an expensive
@@ -428,9 +446,12 @@ def duplicated_spans(
     wins = base.select(
         "doc_id",
         "n_tokens",
-        F.posexplode(shingle_hashes_of(F.col("_th"), window)).alias(
-            "pos", "h"
-        ),
+        F.posexplode(
+            wide_combine(
+                shingle_hashes_of(F.col("_th"), window),
+                shingle_hashes_of(F.col("_thh"), window),
+            )
+        ).alias("pos", "h"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # eager fill: the three consumer branches below land in ONE action,
     # and AQE submits their exchange jobs concurrently — with a lazy

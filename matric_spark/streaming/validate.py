@@ -37,6 +37,23 @@ TRANSCRIPT_DDL = (
 )
 
 
+def await_or_raise(query, timeout_s: int) -> None:
+    """awaitTermination with the timeout made LOUD: a still-running
+    stream past the deadline raises instead of letting the caller read
+    a partial sink/state (which surfaces later as a nondeterministic
+    value mismatch that looks like an engine-parity bug). The stream is
+    stopped before raising so the session isn't left with a zombie
+    query holding the checkpoint lock."""
+    if not query.awaitTermination(timeout_s):
+        try:
+            query.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {query.name or query.id} still running "
+                f"after {timeout_s}s; refusing to read partial output"
+            )
+
+
 def stream_transcripts(
     spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:

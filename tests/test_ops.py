@@ -590,6 +590,102 @@ def test_duplicated_spans_closed_form(span_docs):
     assert (out[7].n_dup_windows, out[7].dup_tokens) == (2, 5)
 
 
+def test_wide_window_hashes_match_python_reference(spark):
+    """Pin the ~60-bit two-chain window-hash construction
+    (hashing.wide_combine over lo/hi md5 bit-halves — the
+    duplicated_spans hash) to a pure-Python reference on BOTH engines.
+    Guards the collision envelope: a single 31-bit chain here would
+    birthday-saturate at corpus scale (window equality alone decides
+    duplication, there is no verify step)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from matric_spark.functions.hashing import (
+        HASH_PRIME,
+        SHINGLE_K,
+        WIDE_SHIFT,
+        shingle_hashes_of,
+        token_hashes_hi,
+        token_hashes_lo,
+        token_md5s,
+        wide_combine,
+    )
+
+    def py_md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def py_wide(text: str, n: int) -> list[int]:
+        md = [py_md5_long(t) for t in text.split(" ")]
+        lo = [x % HASH_PRIME for x in md]
+        hi = [x >> 31 for x in md]
+        k = min(n, len(md))
+        grp = range(max(len(md) - n + 1, 1))
+
+        def horner(vals: list[int]) -> int:
+            acc = vals[0]
+            for v in vals[1:]:
+                acc = (acc * SHINGLE_K + v) % HASH_PRIME
+            return acc
+
+        return [
+            horner(lo[i : i + k]) * WIDE_SHIFT + horner(hi[i : i + k])
+            for i in grp
+        ]
+
+    texts = {0: "a b c d e f", 1: "a b", 2: "solo", 3: "a b c d"}
+    n = 4
+    df = (
+        spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        .select("doc_id", F.split("text", " ").alias("_toks"))
+        .select("doc_id", token_md5s(F.col("_toks")).alias("_md"))
+        .select(
+            "doc_id",
+            token_hashes_lo(F.col("_md")).alias("_th"),
+            token_hashes_hi(F.col("_md")).alias("_thh"),
+        )
+        .select(
+            "doc_id",
+            wide_combine(
+                shingle_hashes_of(F.col("_th"), n),
+                shingle_hashes_of(F.col("_thh"), n),
+            ).alias("wh"),
+        )
+    )
+    expected = {k: py_wide(v, n) for k, v in texts.items()}
+    assert {r.doc_id: list(r.wh) for r in df.collect()} == expected
+    # the hi chain actually contributes: values exceed the 31-bit space
+    assert all(
+        h >= WIDE_SHIFT for hs in expected.values() for h in hs
+    )
+
+    import duckdb
+
+    from matric_spark.duck_oracle import (
+        _WIDE_SHIFT,
+        _token_md5_sql,
+        _wide_shingle_hashes_sql,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""WITH d(doc_id, text) AS (VALUES {
+            ", ".join(f"({k}, '{v}')" for k, v in texts.items())
+        }),
+        t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+        m AS (SELECT doc_id, {_token_md5_sql('toks')} AS md FROM t),
+        h AS (SELECT doc_id,
+                     list_transform(md, x -> x % {HASH_PRIME}) AS thl,
+                     list_transform(md, x -> x // {_WIDE_SHIFT}) AS thh
+              FROM m)
+        SELECT doc_id, {_wide_shingle_hashes_sql('thl', 'thh', n)} AS wh
+        FROM h"""
+    ).fetchall()
+    assert {r[0]: list(r[1]) for r in rows} == expected
+
+
 def test_duplicated_spans_exact_dup_full_coverage(spark):
     from matric_spark.operators.dedup import duplicated_spans
 

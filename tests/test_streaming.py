@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from matric_spark.checks.suite import SuiteConfig, run_verdicts
+from matric_spark.streaming.validate import await_or_raise
 
 
 def _rows(df):
@@ -40,7 +41,7 @@ def test_streaming_equals_batch_verdicts(spark, tiny_transcripts, staged_stream_
         state_dir=str(tmp_path / "state"),
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     out = stream_verdicts(spark, str(tmp_path / "state"))
     assert _rows(out) == _rows(run_verdicts(tiny_transcripts, SuiteConfig()))
 
@@ -83,7 +84,7 @@ def test_streaming_cross_batch_duplicate_key_fails_uniqueness(spark, tmp_path):
         state_dir=str(tmp_path / "state2"),
         checkpoint_dir=str(tmp_path / "ckpt2"),
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     out = stream_verdicts(spark, str(tmp_path / "state2"))
     got = {(r.part, r.check_id): (r.metric, r.status) for r in out.collect()}
     assert got[(1, "uniqueness")] == (2.0, "fail")
@@ -135,7 +136,7 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {
         (r.user_id, r.session_start): (r.session_end, r.n_events, r.total_value)
         for r in spark.sql("select * from sessions_test").collect()
@@ -176,7 +177,7 @@ def test_windowed_rates_monitor(spark, staged_stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = spark.sql("select * from rates_test").collect()
     assert sum(r.n_turns for r in got) == 10  # every fixture row counted
     assert sum(r.null_text for r in got) == 1
@@ -222,7 +223,7 @@ def test_stream_dedup_first_arrival(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = sorted(
         r.doc_id for r in spark.sql("select doc_id from dedup_test").collect()
     )
@@ -264,7 +265,7 @@ def test_stream_rule_violations_match_batch(spark, tiny_transcripts, staged_stre
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = sorted(
         (r.rule, r.conv_id, r.turn_idx)
         for r in spark.sql("SELECT * FROM rule_viol").collect()
@@ -310,7 +311,7 @@ def test_stream_payload_violations_match_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = sorted(
         (r.reason, r.event_id)
         for r in spark.sql("SELECT * FROM payload_viol").collect()
