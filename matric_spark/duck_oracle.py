@@ -219,6 +219,34 @@ def _shingle_sets_sql(n: int = 3, src: str = "documents") -> str:
     )
 
 
+_SHINGLE_SETS_WIDE = """
+toks AS (SELECT doc_id, string_split({norm}, ' ') AS t FROM {src}),
+tkm AS (SELECT doc_id, {token_md} AS md FROM toks),
+tkw AS (SELECT doc_id,
+               list_transform(md, x -> x % {prime}) AS thl,
+               list_transform(md, x -> x // {shift}) AS thh
+        FROM tkm),
+wsets AS (
+  SELECT doc_id, unnest(list_distinct({wide_hashes})) AS hw FROM tkw
+)"""
+
+
+def _shingle_sets_wide_sql(n: int = 3, src: str = "documents") -> str:
+    """Distinct (doc_id, hw) ~60-bit shingle-hash pairs mirroring
+    operators/dedup.shingle_sets_wide — the membership-grade relation
+    (novelty anti-join, contamination broadcast join), where equality
+    alone decides and a 31-bit space saturates against a web-scale
+    reference side. CTE is `wsets` so it composes next to `sets`."""
+    return _SHINGLE_SETS_WIDE.format(
+        norm=NORM.format(col="text"),
+        token_md=_token_md5_sql("t"),
+        prime=HASH_PRIME,
+        shift=_WIDE_SHIFT,
+        wide_hashes=_wide_shingle_hashes_sql("thl", "thh", n),
+        src=src,
+    )
+
+
 _JACCARD_VERIFY = """
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sets GROUP BY 1),
 shared AS (
@@ -821,14 +849,16 @@ def contamination_sql(
     bench_pred: str, n: int = 3, min_overlap: int = 2
 ) -> str:
     """Mirrors operators/corpus.contamination_flags: shared normalized
-    word-shingle hashes between documents and the benchmark subset
-    (`bench_pred` selects benchmark rows of the documents view)."""
+    WIDE word-shingle hashes (_shingle_sets_wide_sql — membership by
+    equality, no verify step) between documents and the benchmark
+    subset (`bench_pred` selects benchmark rows of the documents
+    view)."""
     return f"""
-WITH {_shingle_sets_sql(n)},
-bench AS (SELECT doc_id AS bench_id, h FROM sets
+WITH {_shingle_sets_wide_sql(n)},
+bench AS (SELECT doc_id AS bench_id, hw FROM wsets
           WHERE bench_id IN (SELECT doc_id FROM documents WHERE {bench_pred}))
 SELECT s.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
-FROM sets s JOIN bench b USING (h)
+FROM wsets s JOIN bench b USING (hw)
 WHERE s.doc_id <> b.bench_id
 GROUP BY 1, 2 HAVING count(*) >= {min_overlap}"""
 
@@ -1190,14 +1220,16 @@ FROM p WHERE {u} < keep_prob"""
 def shingle_novelty_sql(n: int = 3) -> str:
     """Mirrors operators/dedup.shingle_novelty for the entry split
     (doc_id % 5 == 0 plays the fresh ingest batch, the rest the existing
-    corpus), sharing the distinct-shingle-hash construction. NULL-text
-    docs are excluded on both engines (see shingle_novelty)."""
+    corpus), over the WIDE distinct-shingle-hash construction
+    (_shingle_sets_wide_sql — membership by equality needs the ~60-bit
+    envelope). NULL-text docs are excluded on both engines (see
+    shingle_novelty)."""
     return f"""
 WITH docs_nn AS (SELECT * FROM documents WHERE text IS NOT NULL),
-{_shingle_sets_sql(n, src='docs_nn')},
-new_sets AS (SELECT * FROM sets WHERE doc_id % 5 = 0),
-ref_h AS (SELECT DISTINCT h FROM sets WHERE doc_id % 5 <> 0),
-novel AS (SELECT s.doc_id FROM new_sets s ANTI JOIN ref_h USING (h)),
+{_shingle_sets_wide_sql(n, src='docs_nn')},
+new_sets AS (SELECT * FROM wsets WHERE doc_id % 5 = 0),
+ref_h AS (SELECT DISTINCT hw FROM wsets WHERE doc_id % 5 <> 0),
+novel AS (SELECT s.doc_id FROM new_sets s ANTI JOIN ref_h USING (hw)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
           FROM new_sets GROUP BY 1),
 nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel

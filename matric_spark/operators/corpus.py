@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from matric_spark.functions.text import bpe_token_count, quality_score
-from matric_spark.operators.dedup import shingle_sets
+from matric_spark.operators.dedup import shingle_sets_wide
 
 
 def contamination_flags(
@@ -36,19 +36,22 @@ def contamination_flags(
     shingles with any benchmark document ->
     DataFrame[doc_id, bench_id, n_shared].
 
-    Scale shape: both sides shingle to (id, 60-bit hash) pairs; the
-    benchmark side (eval sets: thousands of docs, not billions) is
-    BROADCAST, so the corpus side never shuffles — the scan streams
-    through a broadcast hash join and only the tiny flagged set
-    aggregates. Shingles, normalization and hashing are shared with the
-    dedup suite (dedup.shingle_sets), so one shingle pass can feed both.
+    Scale shape: both sides shingle to (id, ~60-bit hash) pairs
+    (dedup.shingle_sets_wide — membership is decided by hash equality
+    with no verify step, and against a billion-doc corpus a 31-bit
+    space would mint ~|doc|×|bench| / 2^31 false shared shingles per
+    doc); the benchmark side (eval sets: thousands of docs, not
+    billions) is BROADCAST, so the corpus side never shuffles — the
+    scan streams through a broadcast hash join and only the tiny
+    flagged set aggregates. Shingle normalization and the md5-per-token
+    stage are shared with the dedup suite.
     """
-    s_docs = shingle_sets(docs, id_col=id_col, text_col=text_col, n=n)
-    s_bench = shingle_sets(
+    s_docs = shingle_sets_wide(docs, id_col=id_col, text_col=text_col, n=n)
+    s_bench = shingle_sets_wide(
         benchmark, id_col=bench_id_col, text_col=text_col, n=n
     ).withColumnRenamed("doc_id", "bench_id")
     return (
-        s_docs.join(F.broadcast(s_bench), "h")
+        s_docs.join(F.broadcast(s_bench), "hw")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
@@ -202,9 +205,11 @@ def ingest_gate(
     from pyspark import StorageLevel
 
     from matric_spark.operators.dedup import (
+        _staged_md,
         minhash_lsh_pairs_against,
         shingle_novelty,
         shingle_sets,
+        shingle_sets_wide,
     )
 
     def r6(c: F.Column) -> F.Column:
@@ -216,15 +221,24 @@ def ingest_gate(
     )
     nd = new_docs.filter(F.col(text_col).isNotNull())
     rd = ref_docs.filter(F.col(text_col).isNotNull())
-    # ONE shingle build per side, shared by the near-dup signatures, the
-    # exact-Jaccard verify, AND the novelty anti-join (each would
-    # otherwise re-explode + re-hash the text)
-    sets_new = shingle_sets(
-        nd, id_col=id_col, text_col=text_col, n=n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sets_ref = shingle_sets(
-        rd, id_col=id_col, text_col=text_col, n=n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE md5-per-token stage per side, shared by the near-dup
+    # signatures + exact-Jaccard verify (31-bit shingle_sets — the
+    # minhash permutation space) AND the novelty anti-join (wide
+    # shingle_sets_wide — membership needs the ~60-bit envelope). The
+    # persisted stage holds token-hash arrays; both exploded relations
+    # are pure arithmetic over it, so neither re-scans the text.
+    staged_new = _staged_md(nd, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    staged_ref = _staged_md(rd, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sets_new = shingle_sets(staged=staged_new, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sets_ref = shingle_sets(staged=staged_ref, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tj = (
         minhash_lsh_pairs_against(
             nd, rd, threshold=jaccard_candidate,
@@ -235,7 +249,11 @@ def ingest_gate(
         .agg(r6(F.max("jaccard")).alias("max_jaccard"))
     )
     nv = shingle_novelty(
-        nd, rd, n=n, sets_new=sets_new, sets_ref=sets_ref
+        nd,
+        rd,
+        n=n,
+        sets_new=shingle_sets_wide(staged=staged_new, n=n),
+        sets_ref=shingle_sets_wide(staged=staged_ref, n=n),
     ).select("doc_id", "novelty")
     out = base.join(tj, "doc_id", "left").join(nv, "doc_id", "left")
     if new_emb is not None and ref_emb is not None:

@@ -150,26 +150,93 @@ def _staged_th(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.select("doc_id", token_hashes(F.col("_toks")).alias("_th"))
 
 
+def _staged_md(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, _th, _thh) staging for builders that need BOTH Horner
+    chains (the ~60-bit wide window/membership hashes): one md5 per
+    token, split into the independent low-31/high-29 bit halves. A
+    consumer that reads only `_th` gets `_thh`'s transform pruned by
+    Catalyst, so this can serve as the shared stage for a lo-only and a
+    wide relation derived from one persisted frame (ingest_gate)."""
+    from matric_spark.functions.hashing import (
+        token_hashes_hi,
+        token_hashes_lo,
+        token_md5s,
+    )
+
+    staged = _staged_toks(docs, id_col, text_col)
+    return staged.select(
+        "doc_id", token_md5s(F.col("_toks")).alias("_md")
+    ).select(
+        "doc_id",
+        token_hashes_lo(F.col("_md")).alias("_th"),
+        token_hashes_hi(F.col("_md")).alias("_thh"),
+    )
+
+
 def shingle_sets(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Exploded distinct (id, shingle-hash) pairs; hash < HASH_PRIME.
 
     Token hashes are STAGED as their own projection (one md5 per token,
     once per row) and shingle hashes are the numeric Horner combine —
     see functions/hashing.shingle_hashes_of for the construction and its
-    DuckDB mirror."""
+    DuckDB mirror. The 31-bit space is the DESIGN here: these hashes
+    feed the minhash permutation family ((a*h+b) mod P needs h < 2^31
+    to stay inside int64) and per-pair-verified jaccard, where
+    collisions only perturb one pair's sets. Membership-by-equality
+    consumers must use `shingle_sets_wide` instead.
+
+    `staged` (a `_staged_md`/`_staged_th` frame) lets a caller share
+    one md5-per-token pass between this and the wide relation."""
     from matric_spark.functions.hashing import shingle_hashes_of
 
-    staged = _staged_th(docs, id_col, text_col)
+    if staged is None:
+        staged = _staged_th(docs, id_col, text_col)
     return staged.select(
         "doc_id",
         F.explode(
             F.array_distinct(shingle_hashes_of(F.col("_th"), n))
         ).alias("h"),
+    )
+
+
+def shingle_sets_wide(
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    staged: DataFrame | None = None,
+) -> DataFrame:
+    """Exploded distinct (id, ~60-bit shingle-hash) pairs ->
+    DataFrame[doc_id, hw] — the membership-grade twin of
+    `shingle_sets`, for operators that decide by hash equality ALONE
+    with no pairwise verify step (shingle_novelty's corpus anti-join,
+    corpus.contamination_flags). A 31-bit space saturates against a
+    web-corpus reference side (~10^9-10^10 distinct shingles): every
+    probe collides with SOMETHING, novelty reads ~0 and contamination
+    overcounts — invisible to the parity gate because both engines
+    would share the weak hash. Two Horner chains over independent md5
+    bit-halves (hashing.wide_combine) restore a ~2^-60 per-probe
+    false-hit rate. Mirrored by duck_oracle._shingle_sets_wide_sql."""
+    from matric_spark.functions.hashing import shingle_hashes_of, wide_combine
+
+    if staged is None:
+        staged = _staged_md(docs, id_col, text_col)
+    return staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                wide_combine(
+                    shingle_hashes_of(F.col("_th"), n),
+                    shingle_hashes_of(F.col("_thh"), n),
+                )
+            )
+        ).alias("hw"),
     )
 
 
@@ -312,9 +379,11 @@ def shingle_novelty(
 
     Scale shape: the reference side reduces to a DISTINCT shingle-hash
     relation — a pure function of the corpus, computed once per ingest
-    epoch (materialize it bucketed by h, like the banded-signature note
+    epoch (materialize it bucketed by hw, like the banded-signature note
     on minhash_lsh_pairs_against) — and the new batch anti-joins it
-    keyed on h. Ids and 60-bit hashes only; nothing is O(|new|×|ref|).
+    keyed on hw. Ids and ~60-bit hashes only (`shingle_sets_wide` — a
+    31-bit space would saturate against a web-corpus reference side and
+    read novelty ~0; see its docstring); nothing is O(|new|×|ref|).
     """
     from pyspark import StorageLevel
 
@@ -323,27 +392,29 @@ def shingle_novelty(
     # DuckDB list comprehension never produces); `sets_new` feeds two
     # consumers (sizes + anti-join), so persist like
     # minhash_lsh_pairs_against does for the same shape. Callers that
-    # already hold the (doc_id, h) relations (ingest_gate shares one
-    # shingle build across all its text signals) pass them via
-    # sets_new/sets_ref and own the NULL-text filtering + persist.
+    # already hold the WIDE (doc_id, hw) relations (ingest_gate shares
+    # one staged md5 pass across all its text signals) pass them via
+    # sets_new/sets_ref and own the NULL-text filtering + persist —
+    # passing the 31-bit (doc_id, h) relation here is a schema error by
+    # construction (no hw column).
     if sets_new is None:
-        sets_new = shingle_sets(
+        sets_new = shingle_sets_wide(
             new_docs.filter(F.col("text").isNotNull()), n=n
         ).persist(StorageLevel.MEMORY_AND_DISK)
     ref_h = (
         (
-            shingle_sets(ref_docs.filter(F.col("text").isNotNull()), n=n)
+            shingle_sets_wide(ref_docs.filter(F.col("text").isNotNull()), n=n)
             if sets_ref is None
             else sets_ref
         )
-        .select("h")
+        .select("hw")
         .distinct()
     )
     sizes = sets_new.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
     novel = (
-        sets_new.join(ref_h, "h", "left_anti")
+        sets_new.join(ref_h, "hw", "left_anti")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_novel"))
     )
