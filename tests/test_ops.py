@@ -686,6 +686,40 @@ def test_wide_window_hashes_match_python_reference(spark):
     assert {r[0]: list(r[1]) for r in rows} == expected
 
 
+def test_duplicated_spans_survives_31bit_collision(spark):
+    """Regression pin with a REAL mined collision: these two 8-token
+    windows share the 31-bit lo-chain hash (2070654029 — found by
+    birthday search after ~41k random windows, concretely demonstrating
+    why a 2^31 space is unusable when window equality alone decides
+    duplication) but differ in the wide combine. duplicated_spans must
+    NOT flag them as duplicates of each other."""
+    import hashlib
+
+    from matric_spark.functions.hashing import HASH_PRIME, SHINGLE_K
+
+    a = "w180760 w180761 w180762 w180763 w180764 w180765 w180766 w180767"
+    b = "w329552 w329553 w329554 w329555 w329556 w329557 w329558 w329559"
+
+    # self-check the mined pair really collides in the 31-bit chain
+    def lo_h(text: str) -> int:
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % HASH_PRIME
+            for t in text.split(" ")
+        ]
+        acc = th[0]
+        for v in th[1:]:
+            acc = (acc * SHINGLE_K + v) % HASH_PRIME
+        return acc
+
+    assert lo_h(a) == lo_h(b) == 2070654029 and a != b
+
+    from matric_spark.operators.dedup import duplicated_spans
+
+    docs = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    for r in duplicated_spans(docs, window=8).collect():
+        assert r.n_dup_windows == 0 and r.dup_tokens == 0 and r.dup_frac == 0.0
+
+
 def test_duplicated_spans_exact_dup_full_coverage(spark):
     from matric_spark.operators.dedup import duplicated_spans
 
