@@ -2945,12 +2945,14 @@ WHERE m.prev_part IS NOT NULL"""
     # defaults to NULLS LAST, Spark to NULLS FIRST)
     _dfp = dk.hexbig(dk.NORM.format(col="text"))
     _drawfp = dk.hexbig("text")
+    _dfp2 = dk.hexbig2(dk.NORM.format(col="text"))
     sql["dedup_impact"] = f"""{_T},
 h AS (SELECT part_month, conv_id, turn_idx, ts, {_dfp} AS fp,
+             {_dfp2} AS fp2,
              {_drawfp} AS rawfp, length(text) AS len
       FROM transcripts WHERE text IS NOT NULL),
 r AS (SELECT part_month, len,
-             row_number() OVER (PARTITION BY fp
+             row_number() OVER (PARTITION BY fp, fp2
                ORDER BY conv_id NULLS FIRST, turn_idx NULLS FIRST,
                         part_month NULLS FIRST, ts NULLS FIRST,
                         rawfp NULLS FIRST) AS rn

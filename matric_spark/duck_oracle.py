@@ -30,6 +30,11 @@ def hexbig(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def hexbig2(expr: str) -> str:
+    """functions/hashing.md5_long2: hex digits 16..30 of the same md5."""
+    return f"CAST('0x' || substr(md5({expr}), 16, 15) AS BIGINT)"
+
+
 def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 

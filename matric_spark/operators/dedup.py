@@ -70,6 +70,11 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     two-phase pattern earns its keep only where the pre-shuffle payload
     is not combinable per key (checks/uniqueness.py 'hash' strategy,
     where whole key tuples would otherwise cross the wire).
+
+    content_fp is a single 60-bit half because it IS the report key
+    (output schema): at 10^12 rows expect ~N²/2^61 ≈ 4×10^5 spurious
+    fp-groups — fine for a duplicate-mass REPORT, not for deletion.
+    The destructive twin `exact_dedup` keys on the 120-bit md5 pair.
     """
     hashed = df.select(md5_long(normalized_text(text_col)).alias("content_fp"))
     return (
@@ -86,13 +91,26 @@ def exact_dedup(
 
     Window-free formulation: groupBy(hash).agg(min_by(struct(ids))) keeps
     the aggregate map-side combinable instead of sorting every group.
+
+    The group key is the 120-bit md5 pair (md5_long, md5_long2), not a
+    single 60-bit half: this operator DELETES rows, and one 60-bit hash
+    at 10^12 rows produces ~N²/2^61 ≈ 4×10^5 false merges — each a
+    unique row silently dropped. Two longs on the wire (16 bytes) is
+    the cheapest collision-free-in-practice key.
     """
+    from matric_spark.functions.hashing import md5_long2
+
     id_cols = id_cols or ["doc_id"]
-    hashed = df.withColumn("_fp", md5_long(normalized_text(text_col)))
-    keep = hashed.groupBy("_fp").agg(
+    norm = normalized_text(text_col)
+    hashed = df.withColumn("_fp", md5_long(norm)).withColumn(
+        "_fp2", md5_long2(norm)
+    )
+    keep = hashed.groupBy("_fp", "_fp2").agg(
         F.min(F.struct(*id_cols)).alias("_keep")
-    ).select("_fp", F.col("_keep.*"))
-    return hashed.join(keep, on=["_fp", *id_cols], how="left_semi").drop("_fp")
+    ).select("_fp", "_fp2", F.col("_keep.*"))
+    return hashed.join(
+        keep, on=["_fp", "_fp2", *id_cols], how="left_semi"
+    ).drop("_fp", "_fp2")
 
 
 def cross_group_duplicates(
@@ -113,6 +131,7 @@ def cross_group_duplicates(
     (60-bit content hash, group id) pairs only, never text, and Spark
     plans the count-distinct as the standard expand + two-phase
     aggregate, so per-partition (fp, group) repeats collapse map-side.
+    Same 60-bit report-key envelope note as exact_duplicates.
     """
     hashed = df.filter(F.col(text_col).isNotNull()).select(
         md5_long(normalized_text(text_col)).alias("content_fp"),
@@ -1012,15 +1031,20 @@ def dedup_impact(
     # assignment, hence bytes_dup, would be nondeterministic. Residual
     # ties after _rawfp are byte-identical rows: same length, counts
     # unaffected.
+    # two-half 120-bit dedup key, like exact_dedup: the keep/delete
+    # accounting must not merge distinct texts on a 60-bit collision
+    from matric_spark.functions.hashing import md5_long2
+
     h = df.filter(F.col(text_col).isNotNull()).select(
         partition_col,
         *order_cols,
         "ts",
         md5_long(normalized_text(text_col)).alias("_fp"),
+        md5_long2(normalized_text(text_col)).alias("_fp2"),
         md5_long(F.col(text_col)).alias("_rawfp"),
         F.length(text_col).alias("_len"),
     )
-    w = Window.partitionBy("_fp").orderBy(
+    w = Window.partitionBy("_fp", "_fp2").orderBy(
         *[F.asc_nulls_first(c) for c in order_cols],
         F.asc_nulls_first(partition_col),
         F.asc_nulls_first("ts"),

@@ -590,6 +590,40 @@ def test_duplicated_spans_closed_form(span_docs):
     assert (out[7].n_dup_windows, out[7].dup_tokens) == (2, 5)
 
 
+def test_md5_second_half_parity_and_independence(spark):
+    """md5_long2 (hex digits 16..30) matches the python/DuckDB mirrors
+    and is independent of md5_long — the pair is the 120-bit exact-dedup
+    key (exact_dedup, dedup_impact keep-decisions)."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from matric_spark.duck_oracle import hexbig, hexbig2
+    from matric_spark.functions.hashing import md5_long, md5_long2
+
+    texts = ["alpha beta", "alpha  beta", "", "x"]
+    exp = {
+        t: (
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16),
+            int(hashlib.md5(t.encode()).hexdigest()[15:30], 16),
+        )
+        for t in texts
+    }
+    df = spark.createDataFrame([(t,) for t in texts], "t string").select(
+        "t", md5_long(F.col("t")).alias("a"), md5_long2(F.col("t")).alias("b")
+    )
+    assert {r.t: (r.a, r.b) for r in df.collect()} == exp
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT t, {hexbig('t')}, {hexbig2('t')} FROM (SELECT unnest(?) AS t)",
+        [texts],
+    ).fetchall()
+    assert {r[0]: (r[1], r[2]) for r in got} == exp
+    # halves differ for every sample (independence sanity)
+    assert all(a != b for a, b in exp.values())
+
+
 def test_wide_window_hashes_match_python_reference(spark):
     """Pin the ~60-bit two-chain window-hash construction
     (hashing.wide_combine over lo/hi md5 bit-halves — the
