@@ -55,12 +55,22 @@ def get_spark(
     n_shuffle = shuffle_partitions or (cpus or os.cpu_count() or 8)
 
     b = SparkSession.builder.appName(app_name)
-    # Respect a cluster-provided master (spark-submit --master sets the
-    # spark.master system property); force local[...] only when nothing
-    # is configured, so main.py can share this factory with tests/bench.
+    # Respect a cluster-provided master; force local[...] only when the
+    # process was launched directly (tests/bench), so main.py can share
+    # this factory with spark-submit deployments. Two signals, either
+    # sufficient: PYSPARK_GATEWAY_PORT marks a python process started by
+    # spark-submit's PythonRunner (whose gateway JVM already carries the
+    # submitted config — under Spark 4 the submitted master is NOT
+    # mirrored into JVM system properties, so the SparkConf probe alone
+    # misses it and would silently downgrade a standalone-cluster submit
+    # to local mode; caught by tools/cluster_scaling_bench.py), and the
+    # SparkConf probe covers an explicitly pre-set spark.master property.
     from pyspark import SparkConf
 
-    if not SparkConf(loadDefaults=True).contains("spark.master"):
+    under_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not under_spark_submit and not SparkConf(loadDefaults=True).contains(
+        "spark.master"
+    ):
         b = b.master(f"local[{cpus}]" if cpus else "local[*]")
     b = (
         b

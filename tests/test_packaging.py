@@ -124,6 +124,72 @@ def test_spark_submit_end_to_end(tmp_path):
     assert set(comp["run_id"]) == {"r1"}, sorted(set(comp["run_id"]))
 
 
+def test_spark_submit_cluster_master_respected(tmp_path):
+    """Regression for a silent cluster-mode downgrade: under Spark 4's
+    spark-submit the submitted master is NOT mirrored into JVM system
+    properties, so session.get_spark's SparkConf probe alone missed it
+    and forced local[N] — a spark-submit against a real standalone
+    master would quietly run single-process (zero executors) while
+    reporting success. get_spark now also detects the PythonRunner
+    gateway (PYSPARK_GATEWAY_PORT). Pin it the way it failed: submit
+    tools/cluster_scaling_job.py against local-cluster[2,1,1024] (two
+    REAL executor JVMs, no daemons needed) and assert the job saw the
+    cluster master and both executors."""
+    import json
+    import shutil
+
+    import pyspark
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("testdata sf0.001 not present")
+
+    # tiny parquet input for the job (it reads a plain transcript table)
+    inp = str(tmp_path / "turns")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from matric_spark.session import get_spark\n"
+        "from matric_spark.sources.transcripts_view import transcript_df\n"
+        "transcript_df(get_spark(cpus=2), %r).coalesce(2)"
+        ".write.parquet(%r)\n" % (REPO, sf_dir, inp)
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=180)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    zpath = str(tmp_path / "matric_spark.zip")
+    _build_zip(zpath)
+    shutil.copy(os.path.join(REPO, "tools", "cluster_scaling_job.py"),
+                tmp_path / "job.py")
+    spark_submit = os.path.join(
+        os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+    )
+    r = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local-cluster[2,1,1024]",
+            "--py-files", zpath,
+            "--conf", "spark.driver.memory=2g",
+            str(tmp_path / "job.py"),
+            "--input", inp, "--inner", "1",
+        ],
+        cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": "",
+             "SPARK_GRAFT_DRIVER_MEM": "2g", "SPARK_GRAFT_CPUS": "2"},
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
+    rep = json.loads(
+        [ln for ln in r.stdout.splitlines() if ln.startswith("CSJ ")][-1][4:]
+    )
+    assert rep["master"].startswith("local-cluster"), rep
+    assert rep["executors"] == 2, rep
+
+
 def test_bench_compact_line_fits_driver_tail_window():
     """BENCH_r03.json recorded `parsed: null`: the driver json-parses the
     last line of a ~2000-char output tail, and a 100+-entry `queries`
