@@ -38,6 +38,11 @@ import subprocess
 import sys
 import time
 
+#: clean-host band for the calibration loop's ABSOLUTE time (seconds);
+#: see BASELINE.md — the ratio alone is blind to a uniform grant
+#: collapse where every parallelism level slows 10x equally
+CLEAN_STREAM_SEC = 5.0
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
@@ -129,6 +134,13 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=96)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--input-dir", default=None)
+    ap.add_argument("--wait-clean", type=float, default=0.0,
+                    help="block each interleave until the bus probe reads "
+                         "ceiling >= this AND absolute stream sec <= "
+                         f"{CLEAN_STREAM_SEC} (0 = run immediately)")
+    ap.add_argument("--wait-timeout", type=float, default=7200.0,
+                    help="max seconds to wait for a clean window before "
+                         "proceeding anyway (stamped either way)")
     args = ap.parse_args()
     if args.input_dir is None:
         args.input_dir = f"/tmp/graft_scaling_input_x{args.copies}"
@@ -158,6 +170,21 @@ def main() -> None:
     start_cluster(worker_cores, worker_mem)
     try:
         for i in range(args.runs):
+            if args.wait_clean > 0:
+                t0 = time.time()
+                while True:
+                    probe = _stream_ceiling(
+                        args.low_cores_max, args.high_cores_max
+                    )
+                    clean = (probe["ceiling"] >= args.wait_clean
+                             and probe["stream_sec_low"] <= CLEAN_STREAM_SEC)
+                    waited = time.time() - t0
+                    print(json.dumps({"waiting": not clean,
+                                      "waited_sec": round(waited, 1),
+                                      **probe}), file=sys.stderr)
+                    if clean or waited > args.wait_timeout:
+                        break
+                    time.sleep(180)
             ceilings.append(
                 _stream_ceiling(args.low_cores_max, args.high_cores_max)
             )
