@@ -38,17 +38,18 @@ import subprocess
 import sys
 import time
 
-#: clean-host band for the calibration loop's ABSOLUTE time (seconds);
-#: see BASELINE.md — the ratio alone is blind to a uniform grant
-#: collapse where every parallelism level slows 10x equally
-CLEAN_STREAM_SEC = 5.0
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
 MASTER_URL = "spark://127.0.0.1:7077"
 
 sys.path.insert(0, os.path.join(REPO, "tools"))
-from scaling_bench import _PREPARE, _run, _stream_ceiling  # noqa: E402
+from scaling_bench import (  # noqa: E402
+    _PREPARE,
+    _run,
+    _stream_ceiling,
+    CLEAN_STREAM_SEC,
+    wait_clean,
+)
 
 
 def _daemon_env() -> dict:
@@ -171,20 +172,8 @@ def main() -> None:
     try:
         for i in range(args.runs):
             if args.wait_clean > 0:
-                t0 = time.time()
-                while True:
-                    probe = _stream_ceiling(
-                        args.low_cores_max, args.high_cores_max
-                    )
-                    clean = (probe["ceiling"] >= args.wait_clean
-                             and probe["stream_sec_low"] <= CLEAN_STREAM_SEC)
-                    waited = time.time() - t0
-                    print(json.dumps({"waiting": not clean,
-                                      "waited_sec": round(waited, 1),
-                                      **probe}), file=sys.stderr)
-                    if clean or waited > args.wait_timeout:
-                        break
-                    time.sleep(180)
+                wait_clean(args.low_cores_max, args.high_cores_max,
+                           args.wait_clean, args.wait_timeout)
             ceilings.append(
                 _stream_ceiling(args.low_cores_max, args.high_cores_max)
             )

@@ -136,6 +136,34 @@ def _stream_ceiling(low: int, high: int) -> dict:
     }
 
 
+#: clean-host band for the calibration loop's ABSOLUTE time (seconds);
+#: the ratio alone is blind to a uniform grant collapse where every
+#: parallelism level slows 10x equally (BASELINE.md, session-4 record)
+CLEAN_STREAM_SEC = 5.0
+
+
+def wait_clean(low: int, high: int, threshold: float, timeout: float,
+               poll_sec: float = 180.0) -> dict:
+    """Block until the bus probe reads ceiling >= threshold AND an
+    absolute stream time inside the clean-host band, or `timeout`
+    elapses (measurement proceeds either way, stamped). Each probe is
+    logged to stderr so an aborted wait still leaves a record."""
+    import time as _time
+
+    t0 = _time.time()
+    while True:
+        probe = _stream_ceiling(low, high)
+        clean = (probe["ceiling"] >= threshold
+                 and probe["stream_sec_low"] <= CLEAN_STREAM_SEC)
+        waited = _time.time() - t0
+        print(json.dumps({"waiting": not clean,
+                          "waited_sec": round(waited, 1), **probe}),
+              file=sys.stderr)
+        if clean or waited > timeout:
+            return probe
+        _time.sleep(poll_sec)
+
+
 def _run(code: str, env: dict) -> str:
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True
@@ -161,6 +189,11 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=96)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--input-dir", default=None)
+    ap.add_argument("--wait-clean", type=float, default=0.0,
+                    help="block each interleave until the bus probe reads "
+                         "ceiling >= this AND absolute stream sec <= "
+                         f"{CLEAN_STREAM_SEC} (0 = run immediately)")
+    ap.add_argument("--wait-timeout", type=float, default=7200.0)
     args = ap.parse_args()
     if args.input_dir is None:
         # copies-specific dir: a stale marker from a different --copies
@@ -196,6 +229,9 @@ def main() -> None:
     ceilings: list[dict] = []
     env["SB_RUNS"] = str(args.inner)
     for _ in range(args.runs):
+        if args.wait_clean > 0:
+            wait_clean(args.low, args.high, args.wait_clean,
+                       args.wait_timeout)
         ceilings.append(_stream_ceiling(args.low, args.high))
         for cpus in (args.low, args.high):
             env["SB_CPUS"] = str(cpus)
