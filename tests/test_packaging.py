@@ -233,3 +233,30 @@ def test_bench_compact_line_fits_driver_tail_window():
     # small suites serialize whole
     small = {"queries": {"a": 1.0, "b": 2.0}, "value": 1.0}
     assert json.loads(bench.compact_line(small))["queries"] == {"a": 1.0, "b": 2.0}
+
+
+def test_wait_clean_gate(monkeypatch):
+    """wait_clean must require BOTH a clean ratio and a clean absolute
+    stream time (the ratio is blind to a uniform grant collapse), and
+    must give up after the timeout with the last probe stamped."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scaling_bench as sb
+
+    seq = [
+        {"ceiling": 0.95, "stream_sec_low": 30.0, "stream_sec_high": 31.0},
+        {"ceiling": 0.50, "stream_sec_low": 3.0, "stream_sec_high": 6.0},
+        {"ceiling": 0.90, "stream_sec_low": 3.0, "stream_sec_high": 3.3},
+    ]
+    probes = iter(seq)
+    monkeypatch.setattr(sb, "_stream_ceiling", lambda lo, hi: next(probes))
+    got = sb.wait_clean(2, 8, 0.85, timeout=999.0, poll_sec=0.0)
+    assert got == seq[-1]  # ratio-dirty and abs-dirty probes both rejected
+
+    # timeout path: forever dirty -> returns after the deadline, last probe
+    monkeypatch.setattr(
+        sb, "_stream_ceiling",
+        lambda lo, hi: {"ceiling": 0.1, "stream_sec_low": 50.0,
+                        "stream_sec_high": 50.0},
+    )
+    got = sb.wait_clean(2, 8, 0.85, timeout=0.0, poll_sec=0.0)
+    assert got["ceiling"] == 0.1
