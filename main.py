@@ -4,11 +4,20 @@ Cluster usage (north rule: spark-submit --py-files on a multi-executor
 cluster):
 
     tools/package.sh                         # builds dist/matric_spark.zip
-    spark-submit --py-files dist/matric_spark.zip main.py \
+    spark-submit --master spark://<master>:7077 \
+        --py-files dist/matric_spark.zip \
+        --conf spark.executor.cores=4 --conf spark.executor.memory=7g \
+        --conf spark.cores.max=<4 x executors> \
+        main.py \
         --input  <transcript table path or sf dir> \
         --state  s3://bucket/state \
         --run-id run-$(date +%s) \
         [--partitions 202401,202402] [--output <verdicts path>]
+
+(The cluster-provided master is respected — get_spark only forces
+local[N] when the process was launched outside spark-submit; see
+session.py and tools/cluster_scaling_bench.py for the measured
+multi-executor deployment of exactly this entry point.)
 
 The job validates only partitions not yet completed for the input's
 lineage fingerprint (resume-without-recompute), appends per-partition
