@@ -30,10 +30,13 @@ reference's preprocess_data drops NA-bearing feature columns first
 (R/utils.R:97-120 ≙ operators/population.preprocess_data), so complete
 rows are the codegen contract; `attach_sim` enforces it with a runtime
 assert_true on NaN features for these kernels rather than silently
-diverging. For NA-bearing data, kernel="pearson_complete" implements
-the exact pairwise.complete.obs semantics on the blocked numpy path
-(sparse.pearson_pairwise_complete_rows, differential-tested against
-R's documented edge cases).
+diverging. For NA-bearing data, the kernels "pearson_complete",
+"spearman_complete" and "kendall_complete" implement the exact
+pairwise.complete.obs semantics on the blocked numpy path
+(sparse.pearson_pairwise_complete_rows / spearman_pairwise_complete_rows
+/ kendall_pairwise_complete_rows — spearman re-ranks each pair on its
+common support, exactly as R does), differential-tested against R's
+documented edge cases.
 """
 
 from __future__ import annotations
@@ -49,7 +52,9 @@ KERNELS = (
     "pearson_complete",
     "euclidean",
     "spearman",
+    "spearman_complete",
     "kendall",
+    "kendall_complete",
 )
 
 
@@ -221,7 +226,7 @@ def _nan_guard(v: F.Column, kernel: str) -> F.Column:
     msg = F.lit(
         f"{kernel} kernel requires complete rows (no NaN features): run "
         "preprocess_data to drop NA-bearing feature columns first "
-        "(R/utils.R:97-120), or use kernel='pearson_complete' for exact "
+        f"(R/utils.R:97-120), or use kernel='{kernel}_complete' for exact "
         "pairwise.complete.obs semantics on NA-bearing data"
     )
     return F.when(F.assert_true(ok, msg).isNull(), v)
@@ -245,12 +250,19 @@ def attach_sim(
     if kernel in ("pearson", "spearman", "kendall"):
         feat_src = feat_src.withColumn(vec_col, _nan_guard(v, kernel))
         v = F.col(vec_col)
-    if kernel in ("kendall", "pearson_complete"):
+    if kernel in (
+        "kendall",
+        "pearson_complete",
+        "spearman_complete",
+        "kendall_complete",
+    ):
         # kendall: rank-correlation over every element pair — no row
-        # preprocessing makes it a dot product. pearson_complete: the
-        # per-pair NaN mask makes means/norms pair-dependent
-        # (stats::cor use="pairwise.complete.obs"). Both run on the
-        # blocked numpy path (one vectorized kernel per Arrow batch).
+        # preprocessing makes it a dot product. *_complete: the per-pair
+        # NaN mask makes means/norms/ranks pair-dependent (stats::cor
+        # use="pairwise.complete.obs", which R/sim_calculate.R:122-124
+        # passes for EVERY method — spearman re-ranks on each pair's
+        # common support). All run on the blocked numpy path (one
+        # vectorized kernel per Arrow batch).
         from matric_spark.operators.sparse import pairwise_blocked
 
         return pairwise_blocked(

@@ -90,6 +90,96 @@ def pearson_pairwise_complete_rows(x1, x2):
     return out
 
 
+def _masked_avg_ranks(x, m):
+    """Average-tie ranks per row over the masked support — R's
+    rank(x[m], ties.method="average") for every row at once, no Python
+    loop. Invalid coordinates (m False) rank as +inf so they sort last,
+    then get NaN in the output; ranks of valid coordinates are exactly
+    what R computes on the compacted subvector (positions of the
+    invalid tail don't disturb 1..n_valid).
+
+    Vectorization: stable argsort per row → tie-group ids via value
+    changes → per-group average of 1..d using one flat bincount (rows
+    offset so groups never collide) → scatter back through the sort
+    permutation.
+    """
+    import numpy as np
+
+    n, d = x.shape
+    big = np.where(m, x, np.inf)
+    order = np.argsort(big, axis=1, kind="stable")
+    sv = np.take_along_axis(big, order, axis=1)
+    newgrp = np.ones((n, d), dtype=bool)
+    newgrp[:, 1:] = sv[:, 1:] != sv[:, :-1]
+    gid = np.cumsum(newgrp, axis=1)  # 1..d, per row
+    flat = (gid + (np.arange(n) * (d + 1))[:, None]).ravel()
+    pos = np.broadcast_to(np.arange(1, d + 1, dtype=np.float64), (n, d)).ravel()
+    sums = np.bincount(flat, weights=pos, minlength=n * (d + 1) + 1)
+    cnts = np.bincount(flat, minlength=n * (d + 1) + 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = sums / cnts
+    ranks_sorted = avg[flat].reshape(n, d)
+    ranks = np.empty((n, d), dtype=np.float64)
+    np.put_along_axis(ranks, order, ranks_sorted, axis=1)
+    ranks[~m] = np.nan
+    return ranks
+
+
+def spearman_pairwise_complete_rows(x1, x2):
+    """Spearman with R's use="pairwise.complete.obs" semantics
+    (stats::cor, R/sim_calculate.R:122-124 passes it for every method):
+    for EACH row pair, restrict to the common non-NaN support, re-rank
+    BOTH subvectors on that support (R computes ranks per pair, so a
+    row's ranks differ between partners with different NaN masks — a
+    row-preprocessed rank_transform cannot express this), then pearson
+    over the ranks. Edge cases follow pearson_pairwise_complete_rows:
+    <2 complete coordinates → NA, zero rank variance (constant on the
+    common support) → NA."""
+    import numpy as np
+
+    m = ~(np.isnan(x1) | np.isnan(x2))
+    r1 = _masked_avg_ranks(x1, m)
+    r2 = _masked_avg_ranks(x2, m)
+    return pearson_pairwise_complete_rows(r1, r2)
+
+
+def kendall_pairwise_complete_rows(x1, x2, _chunk: int | None = None):
+    """Kendall tau-b with R's use="pairwise.complete.obs" semantics:
+    per row pair, only index pairs (i, j) with BOTH coordinates valid in
+    BOTH rows count — exactly stats::cor on the compacted common-support
+    subvectors. Same exact-integer tau-b formulation, chunking and
+    memory bound as kendall_rows; masked-out index pairs contribute 0 to
+    the sign products and to both tie terms. <2 complete coordinates →
+    no valid index pairs → denominator 0 → NA."""
+    import numpy as np
+
+    n, d = x1.shape
+    out = np.empty(n, dtype=np.float64)
+    iu0, iu1 = np.triu_indices(d, k=1)
+    n_pairs = len(iu0)
+    if _chunk is None:
+        _chunk = max(1, KENDALL_MEM_BUDGET // max(n_pairs * 8, 1))
+    m = ~(np.isnan(x1) | np.isnan(x2))
+    for s in range(0, n, _chunk):
+        a = x1[s : s + _chunk]
+        b = x2[s : s + _chunk]
+        mm = m[s : s + _chunk]
+        pair_ok = mm[:, iu0] & mm[:, iu1]
+        sxu = np.where(pair_ok, np.sign(a[:, iu0] - a[:, iu1]), 0.0).astype(
+            np.int8
+        )
+        syu = np.where(pair_ok, np.sign(b[:, iu0] - b[:, iu1]), 0.0).astype(
+            np.int8
+        )
+        num = np.einsum("ij,ij->i", sxu, syu, dtype=np.int64)
+        dx = np.count_nonzero(sxu, axis=1).astype(np.float64)
+        dy = np.count_nonzero(syu, axis=1).astype(np.float64)
+        denom = np.sqrt(dx * dy)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out[s : s + _chunk] = np.where(denom > 0, num / denom, np.nan)
+    return out
+
+
 #: per-buffer memory budget for kendall's sign matrices (bytes). Two
 #: int8 buffers of chunk × d(d-1)/2 live at once, so peak extra memory
 #: is ~2 × this regardless of d.
@@ -154,6 +244,8 @@ KERNELS: dict[str, Kernel] = {
     "cosine": cosine_rows,
     "pearson": pearson_rows,
     "pearson_complete": pearson_pairwise_complete_rows,
+    "spearman_complete": spearman_pairwise_complete_rows,
+    "kendall_complete": kendall_pairwise_complete_rows,
     "tcrossprod": tcrossprod_rows,
     "kendall": kendall_rows,
 }

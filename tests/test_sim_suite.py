@@ -513,3 +513,165 @@ def test_pearson_complete_matches_r_semantics_with_nans(spark):
             assert sim is None or math.isnan(sim), (i, j, sim)
         else:
             assert sim == pytest.approx(want, abs=1e-12), (i, j)
+
+
+def _r_rank_avg(a):
+    """Independent average-tie rank (R's rank(ties.method='average'))
+    via pandas — the oracle for the vectorized bincount formulation."""
+    import pandas as pd
+
+    return pd.Series(a).rank(method="average").to_numpy()
+
+
+def test_masked_avg_ranks_matches_pandas():
+    """_masked_avg_ranks vs pandas .rank on each row's compacted
+    support — ties, singletons, empty support."""
+    import numpy as np
+
+    from matric_spark.operators.sparse import _masked_avg_ranks
+
+    nan = np.nan
+    x = np.array(
+        [
+            [3.0, 1.0, 2.0, 1.0, 5.0],
+            [2.0, 2.0, 2.0, 2.0, 2.0],
+            [nan, 7.0, nan, -1.0, 0.0],
+            [nan, nan, nan, nan, nan],
+        ]
+    )
+    m = ~np.isnan(x)
+    # also mask a VALID coordinate (partner-row NaN case)
+    m[0, 4] = False
+    got = _masked_avg_ranks(x, m)
+    for i in range(x.shape[0]):
+        vals = x[i][m[i]]
+        want = _r_rank_avg(vals)
+        np.testing.assert_allclose(got[i][m[i]], want)
+        assert np.isnan(got[i][~m[i]]).all()
+
+
+def test_rank_complete_kernels_match_plain_on_complete_rows(spark, population):
+    """On NA-free data pairwise.complete.obs degenerates to the plain
+    kernel for spearman and kendall too (same contract as the pearson
+    twin above): blocked numpy path vs the codegen/blocked plain path."""
+    from matric_spark.operators.pairs import sim_calculate
+
+    for base, comp in (
+        ("spearman", "spearman_complete"),
+        ("kendall", "kendall_complete"),
+    ):
+        plain = {
+            (r.id1, r.id2): r.sim
+            for r in sim_calculate(population, base, strata=["label"]).collect()
+        }
+        got = {
+            (r.id1, r.id2): r.sim
+            for r in sim_calculate(population, comp, strata=["label"]).collect()
+        }
+        assert set(plain) == set(got)
+        for k, v in plain.items():
+            assert got[k] == pytest.approx(v, abs=1e-12), (base, k)
+
+
+def test_spearman_complete_matches_r_semantics_with_nans(spark):
+    """Differential vs an independent per-pair formulation of
+    stats::cor(method="spearman", use="pairwise.complete.obs"): mask to
+    the common support, re-rank BOTH compacted subvectors with pandas
+    average-tie ranks (ranks are per-PAIR — R recomputes them for every
+    partner mask), then np.corrcoef on the ranks. Edges: <2 complete
+    coordinates → NA; constant ranks on the support → NA."""
+    import numpy as np
+
+    from matric_spark.operators.pairs import sim_calculate
+
+    nan = float("nan")
+    vecs = {
+        1: [1.0, 2.0, nan, 4.0, 5.0, 6.0],
+        2: [2.0, nan, 3.0, 8.0, 9.0, 1.0],
+        3: [nan, 1.0, 1.0, nan, 2.0, 7.0],
+        4: [1.0, nan, nan, 2.0, nan, nan],   # tiny common support
+        5: [3.0, 3.0, 3.0, 3.0, nan, 3.0],   # constant on any support
+        6: [9.0, 2.0, 2.0, 2.0, 1.0, 4.0],   # heavy ties
+    }
+    pop = spark.createDataFrame(
+        [(i, v, 1) for i, v in vecs.items()],
+        "id long, features array<double>, label int",
+    )
+    got = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(
+            pop, "spearman_complete", strata=["label"]
+        ).collect()
+    }
+
+    def r_pairwise(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        m = ~(np.isnan(a) | np.isnan(b))
+        if m.sum() < 2:
+            return None
+        ra, rb = _r_rank_avg(a[m]), _r_rank_avg(b[m])
+        if ra.std() == 0 or rb.std() == 0:
+            return None
+        return float(np.corrcoef(ra, rb)[0, 1])
+
+    assert len(got) == 30  # 6P2 ordered pairs
+    for (i, j), sim in got.items():
+        want = r_pairwise(vecs[i], vecs[j])
+        if want is None:
+            assert sim is None or math.isnan(sim), (i, j, sim)
+        else:
+            assert sim == pytest.approx(want, abs=1e-12), (i, j)
+
+
+def test_kendall_complete_matches_r_semantics_with_nans(spark):
+    """Differential vs a naive per-index-pair tau-b over the common
+    non-NaN support (stats::cor(method="kendall",
+    use="pairwise.complete.obs")). Edges as above."""
+    import numpy as np
+
+    from matric_spark.operators.pairs import sim_calculate
+
+    nan = float("nan")
+    vecs = {
+        1: [1.0, 2.0, nan, 4.0, 5.0, 6.0],
+        2: [2.0, nan, 3.0, 8.0, 9.0, 1.0],
+        3: [nan, 1.0, 1.0, nan, 2.0, 7.0],
+        4: [1.0, nan, nan, 2.0, nan, nan],
+        5: [3.0, 3.0, 3.0, 3.0, nan, 3.0],
+        6: [9.0, 2.0, 2.0, 2.0, 1.0, 4.0],
+    }
+    pop = spark.createDataFrame(
+        [(i, v, 1) for i, v in vecs.items()],
+        "id long, features array<double>, label int",
+    )
+    got = {
+        (r.id1, r.id2): r.sim
+        for r in sim_calculate(
+            pop, "kendall_complete", strata=["label"]
+        ).collect()
+    }
+
+    def r_pairwise(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        m = ~(np.isnan(a) | np.isnan(b))
+        aa, bb = a[m], b[m]
+        n = len(aa)
+        num = dx = dy = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                sx = np.sign(aa[i] - aa[j])
+                sy = np.sign(bb[i] - bb[j])
+                num += sx * sy
+                dx += sx != 0
+                dy += sy != 0
+        if dx == 0 or dy == 0:
+            return None
+        return num / math.sqrt(dx * dy)
+
+    assert len(got) == 30
+    for (i, j), sim in got.items():
+        want = r_pairwise(vecs[i], vecs[j])
+        if want is None:
+            assert sim is None or math.isnan(sim), (i, j, sim)
+        else:
+            assert sim == pytest.approx(want, abs=1e-12), (i, j)
