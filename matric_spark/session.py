@@ -48,6 +48,14 @@ def get_spark(
     ``SPARK_GRAFT_CPUS`` env var, then ``local[*]``. On a real cluster this
     function is a no-op passthrough to whatever ``spark-submit`` provided —
     all configs below are safe cluster-side too.
+
+    Under ``spark-submit`` (detected via ``PYSPARK_GATEWAY_PORT``) the
+    submitted ``--master`` always wins and ``cpus`` only sizes shuffle
+    partitions. Corollary: a spark-submit run that OMITS ``--master``
+    falls to spark-submit's own ``local[*]`` default — on this host
+    (documented 32-thread turbo throttling, BASELINE.md) always pass
+    ``--master local[N]`` explicitly when parallelism must be bounded;
+    ``SPARK_GRAFT_CPUS`` alone cannot bound it in that path.
     """
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")

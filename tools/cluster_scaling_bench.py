@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -160,7 +161,11 @@ def main() -> None:
     # worker capacity identical for both levels: the grant differs only
     # through spark.cores.max
     n_exec_high = args.high_cores_max // args.executor_cores
-    heap_gb = int(args.executor_mem.rstrip("g"))
+    mem = re.fullmatch(r"(\d+)\s*([gGmM])b?", args.executor_mem.strip())
+    if not mem:
+        ap.error("--executor-mem must be like '7g' or '7168m'")
+    heap_gb = (int(mem.group(1)) if mem.group(2).lower() == "g"
+               else -(-int(mem.group(1)) // 1024))  # ceil MB -> GB
     worker_mem = f"{n_exec_high * heap_gb + 2}g"
 
     low_n = args.low_cores_max // args.executor_cores
@@ -168,15 +173,21 @@ def main() -> None:
     ceilings: list[dict] = []
     history: list[dict] = []
     stop_cluster()  # stale daemons from a crashed run
-    start_cluster(worker_cores, worker_mem)
     try:
+        # inside the try so a failed start-worker.sh (check=True) still
+        # reaps the already-running master — stop_cluster is idempotent
+        start_cluster(worker_cores, worker_mem)
         for i in range(args.runs):
             if args.wait_clean > 0:
-                wait_clean(args.low_cores_max, args.high_cores_max,
-                           args.wait_clean, args.wait_timeout)
-            ceilings.append(
-                _stream_ceiling(args.low_cores_max, args.high_cores_max)
-            )
+                # the gate's own passing probe IS the bracketing stamp —
+                # a second probe here could land in a flipped window and
+                # costs multi-seconds per interleave
+                probe = wait_clean(args.low_cores_max, args.high_cores_max,
+                                   args.wait_clean, args.wait_timeout)
+            else:
+                probe = _stream_ceiling(args.low_cores_max,
+                                        args.high_cores_max)
+            ceilings.append(probe)
             for cores_max in (args.low_cores_max, args.high_cores_max):
                 rep = submit(cores_max, args.executor_cores,
                              args.executor_mem, args.input_dir, args.inner)
