@@ -95,11 +95,57 @@ def _csv_components(path: str) -> tuple[str, str, str]:
     )
 
 
+def _iceberg_tables(path: str) -> tuple[str, str, str]:
+    """Map `path` to (namespace, pairs_table, metadata_table).
+
+    A dotted identifier ('graft.db.mysim') is used as the table base
+    directly; anything else (a filesystem-ish path, so sim_write/sim_read
+    keep ONE signature across backends) derives a deterministic
+    namespace in the `graft` hadoop catalog the same way state.StateStore
+    does (sha256-prefix of the normalized path)."""
+    import re
+
+    if re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)+", path):
+        base = path
+    else:
+        import hashlib
+
+        h = hashlib.sha256(os.path.normpath(path).encode()).hexdigest()[:12]
+        base = f"graft.sim_{h}.sim"
+    return base.rsplit(".", 1)[0], f"{base}_pairs", f"{base}_metadata"
+
+
+#: table property carrying metric_metadata on the pairs table — the
+#: Iceberg rendering of params.json (R/sim_read-write.R:69-73 maps the
+#: attribute sidecar to table properties per SURVEY §1.3)
+_PARAMS_PROP = "matric.params"
+
+
 def sim_write(sf: SimFrame, path: str, file_format: str = "parquet") -> None:
     """Persist all three components (R/sim_read-write.R:42-76):
     parquet = pairs/ + metadata/ + params.json; csv = the reference's
-    3-component sidecar layout. On Iceberg: two writeTo().append() +
-    table properties for the params."""
+    3-component sidecar layout; iceberg = two real catalog tables
+    (<base>_pairs, <base>_metadata) written with the atomic
+    DataFrameWriterV2 (`writeTo(...).createOrReplace()` — the Iceberg
+    swap is a single metadata commit, so readers never observe a torn
+    SimFrame, unlike parquet's delete-then-write overwrite) with
+    metric_metadata in the pairs table's properties instead of a
+    params.json sidecar. Requires the `graft` catalog registered by
+    session.get_spark (iceberg-spark-runtime jar on the classpath)."""
+    if file_format == "iceberg":
+        ns, tp, tm = _iceberg_tables(path)
+        spark = sf.pairs.sparkSession
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ns}")
+        (
+            sf.pairs.writeTo(tp)
+            .using("iceberg")
+            .tableProperty(
+                _PARAMS_PROP, json.dumps(sf.metric_metadata, sort_keys=True)
+            )
+            .createOrReplace()
+        )
+        sf.row_metadata.writeTo(tm).using("iceberg").createOrReplace()
+        return
     if file_format == "parquet":
         sf.pairs.write.mode("overwrite").parquet(os.path.join(path, "pairs"))
         sf.row_metadata.write.mode("overwrite").parquet(
@@ -115,7 +161,9 @@ def sim_write(sf: SimFrame, path: str, file_format: str = "parquet") -> None:
         with open(params_p, "w") as f:
             json.dump(sf.metric_metadata, f, sort_keys=True)
         return
-    raise ValueError(f"file_format must be 'parquet' or 'csv', got {file_format!r}")
+    raise ValueError(
+        f"file_format must be 'parquet', 'csv' or 'iceberg', got {file_format!r}"
+    )
 
 
 def sim_read(
@@ -123,7 +171,19 @@ def sim_read(
 ) -> SimFrame:
     """Load + RE-VALIDATE (sim_validate(sim_new(...)) on read,
     R/sim_read-write.R:112-154) — storage is untrusted. csv reads with
-    inferSchema (readr::read_csv's col_types = cols() behavior)."""
+    inferSchema (readr::read_csv's col_types = cols() behavior); iceberg
+    reads the two catalog tables and decodes metric_metadata from the
+    pairs table's properties."""
+    if file_format == "iceberg":
+        _, tp, tm = _iceberg_tables(path)
+        pairs = spark.read.table(tp)
+        meta = spark.read.table(tm)
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tp}").collect()
+        }
+        params = json.loads(props.get(_PARAMS_PROP, "{}"))
+        return sim_new(pairs, meta, params)
     if file_format == "parquet":
         pairs = spark.read.parquet(os.path.join(path, "pairs"))
         meta = spark.read.parquet(os.path.join(path, "metadata"))
@@ -138,4 +198,6 @@ def sim_read(
         with open(params_p) as f:
             params = json.load(f)
         return sim_new(pairs, meta, params)
-    raise ValueError(f"file_format must be 'parquet' or 'csv', got {file_format!r}")
+    raise ValueError(
+        f"file_format must be 'parquet', 'csv' or 'iceberg', got {file_format!r}"
+    )

@@ -250,3 +250,60 @@ def test_sim_wider_labeled_matches_reference(spark):
     )
     with pytest.raises(ValueError, match="not symmetric"):
         sim_wider_labeled(bad, "g")
+
+
+def _iceberg_jars_present():
+    from matric_spark.session import _iceberg_available
+
+    return _iceberg_available()
+
+
+@pytest.mark.skipif(
+    not _iceberg_jars_present(),
+    reason="iceberg-spark-runtime jar not on the classpath (sandbox); the "
+    "parquet/csv backends cover the same validate-on-read logic — only "
+    "the storage calls differ (sim_io.sim_write docstring)",
+)
+def test_simframe_iceberg_roundtrip(spark, tmp_path):
+    """SimFrame I/O on REAL Iceberg tables (SURVEY §1.3 mapping of
+    R/sim_read-write.R:69-73): pairs + metadata land as catalog tables
+    via the atomic DataFrameWriterV2 createOrReplace, metric_metadata
+    rides in the pairs table's properties, and sim_read re-validates.
+    Green when the runtime jar is present; skipped in jar-less sandboxes."""
+    from matric_spark.operators.sim_io import (
+        _iceberg_tables,
+        sim_new,
+        sim_read,
+        sim_write,
+    )
+
+    assert spark.conf.get("spark.sql.catalog.graft", None), (
+        "session factory must register the graft catalog when jars exist"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 1, 0.5)], "id1 long, id2 long, sim double"
+    )
+    meta = spark.createDataFrame([(1, "a"), (2, "b")], "id long, g string")
+    sf = sim_new(pairs, meta, {"method": "cosine", "seed": 7})
+
+    path = str(tmp_path / "simice")
+    sim_write(sf, path, file_format="iceberg")
+    _, tp, tm = _iceberg_tables(path)
+    assert spark.catalog.tableExists(tp) and spark.catalog.tableExists(tm)
+
+    back = sim_read(spark, path, file_format="iceberg")  # re-validates
+    assert sorted(map(tuple, back.pairs.collect())) == sorted(
+        map(tuple, pairs.collect())
+    )
+    assert sorted(map(tuple, back.row_metadata.collect())) == sorted(
+        map(tuple, meta.collect())
+    )
+    assert back.metric_metadata == {"method": "cosine", "seed": 7}
+
+    # overwrite semantics: a second write REPLACES (one metadata commit),
+    # and the dotted-identifier path form addresses the same tables
+    sf2 = sim_new(pairs.limit(1), meta, {"method": "pearson"})
+    sim_write(sf2, path, file_format="iceberg")
+    again = sim_read(spark, path, file_format="iceberg")
+    assert again.pairs.count() == 1
+    assert again.metric_metadata == {"method": "pearson"}
