@@ -1667,47 +1667,59 @@ def q_emb_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal Arrow path (mapInPandas over binary payload +
-    typed meta struct) gated on VALUES: frame-sample every video derived
-    deterministically from `documents` (multimodal.media_from_documents)
-    and emit (media_id, frame_idx, ts_ms, n_bytes). The DuckDB oracle
-    reproduces the fan-out in closed form — frame count and timestamps
-    from meta.duration_ms, and n_bytes = width*height because the stub
-    decoder emits one uint8 per pixel — so the batch-local explode
-    inside the Arrow iterator (the real plumbing a codec would plug
-    into) is value-hash-checked end to end."""
+    """The multimodal Arrow path gated on VALUES through the REAL
+    decoder: payloads are genuine BMP container bytes
+    (multimodal.bmp_media_from_documents — header, palette, stride
+    padding, bottom-up rows) of the closed-form pixel field
+    (media_id*31 + pos) % 256; sample_frames(decoder="bmp") PARSES them
+    (multimodal.decode_bmp, pure numpy — no codec stub in this path) and
+    derives frame i as the poster rolled down i rows. The DuckDB oracle
+    mirrors the fan-out AND the decoded pixels in closed form:
+    n_bytes = width*height, checksum = Σ (media_id*31+j) % 256 over all
+    pixels (roll-invariant), first_px = (media_id*31 + (i%h)*w) % 256
+    (roll-sensitive — a per-frame probe of actual decoded bytes). Any
+    codec bug — wrong stride, palette miss, flipped rows — shifts
+    checksum or first_px and fails the value hash."""
     from matric_spark.operators.multimodal import (
-        media_from_documents,
+        bmp_media_from_documents,
         sample_frames,
     )
 
-    media = media_from_documents(_docs(spark, sf_dir))
-    frames = sample_frames(media, every_ms=1000)
+    from matric_spark.functions.udfs import byte_checksum, first_byte
+
+    media = bmp_media_from_documents(_docs(spark, sf_dir))
+    frames = sample_frames(media, every_ms=1000, decoder="bmp")
+    # checksum/first_px read the decoded frame BYTES (Arrow-vectorized
+    # buffer sums), so the gate checks what the decoder actually
+    # produced, not a re-derivation of the closed form
     return frames.select(
         "media_id",
         "frame_idx",
         "ts_ms",
         F.length("payload").cast("long").alias("n_bytes"),
+        byte_checksum("payload").alias("checksum"),
+        first_byte("payload").alias("first_px"),
     )
 
 
 def q_multimodal_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Invariant + completeness twin for `image_features`: every image
-    row must yield exactly one feature vector with dim == 16,
-    sum(features) == 1 (the stub decode is a normalized histogram) and
-    no negative bin; rows violating either, plus images MISSING from the
+    """Invariant + completeness twin for `image_features` through the
+    REAL BMP decoder (bmp_media_from_documents payloads parsed by
+    decode_bmp): every image row must yield exactly one feature vector
+    with dim == 16, sum(features) == 1 (a normalized histogram) and no
+    negative bin; rows violating either, plus images MISSING from the
     output (left-anti — an empty mapInPandas result must not pass
     vacuously), form the violation set checked against an empty
     oracle. Same gating style as emb_lsh_soundness."""
     from matric_spark.operators.multimodal import (
         FEATURE_DIM,
+        bmp_media_from_documents,
         image_features,
-        media_from_documents,
     )
 
-    media = media_from_documents(_docs(spark, sf_dir))
+    media = bmp_media_from_documents(_docs(spark, sf_dir))
     images = media.filter(F.col("kind") == "image").select("media_id")
-    checked = image_features(media).select(
+    checked = image_features(media, decoder="bmp").select(
         "media_id",
         F.size("features").alias("n_feat"),
         F.aggregate(
@@ -2573,23 +2585,36 @@ SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS label1,
        CAST(NULL AS DOUBLE) AS stat, CAST(NULL AS DOUBLE) AS nlog10p
 WHERE 1 = 0"""
 
-    # multimodal: closed-form mirror of multimodal.media_from_documents
+    # multimodal: closed-form mirror of multimodal.bmp_media_from_documents
     # (kind = [image,audio,video][doc_id%3], width = 8+(doc_id%4)*4,
-    # height = 8+(doc_id%3)*4, duration_ms = 3000+(doc_id%5)*1000) —
-    # the sample_frames fan-out and decoded byte counts are therefore
-    # SQL-expressible even though the Spark side runs them through the
-    # real Arrow mapInPandas pipeline.
+    # height = 8+(doc_id%3)*4, duration_ms = 3000+(doc_id%5)*1000; BMP
+    # pixel field px[j] = (doc_id*31 + j) % 256). The Spark side ENCODES
+    # real BMP containers and PARSES them back (decode_bmp) before
+    # emitting frame bytes, so checksum (Σ pixels — invariant under the
+    # per-frame row roll) and first_px (pixel at row i%h, col 0 of the
+    # rolled frame — roll-SENSITIVE) value-check the actual decoder
+    # output against this arithmetic mirror.
     sql["multimodal_frames"] = """
-SELECT doc_id AS media_id,
-       CAST(i AS INT) AS frame_idx,
-       CAST(i * 1000 AS INT) AS ts_ms,
-       CAST((8 + (doc_id % 4) * 4) * (8 + (doc_id % 3) * 4) AS BIGINT)
-           AS n_bytes
-FROM (
-    SELECT doc_id, unnest(range(3 + (doc_id % 5))) AS i
+WITH vids AS (
+    SELECT doc_id,
+           8 + (doc_id % 4) * 4 AS w,
+           8 + (doc_id % 3) * 4 AS h,
+           3 + (doc_id % 5) AS n_frames
     FROM documents
     WHERE doc_id IS NOT NULL AND doc_id % 3 = 2
-)"""
+), sums AS (
+    SELECT doc_id, SUM((doc_id * 31 + j) % 256) AS checksum
+    FROM (SELECT doc_id, unnest(range(w * h)) AS j FROM vids)
+    GROUP BY doc_id
+)
+SELECT v.doc_id AS media_id,
+       CAST(v.i AS INT) AS frame_idx,
+       CAST(v.i * 1000 AS INT) AS ts_ms,
+       CAST(v.w * v.h AS BIGINT) AS n_bytes,
+       CAST(s.checksum AS BIGINT) AS checksum,
+       CAST((v.doc_id * 31 + (v.i % v.h) * v.w) % 256 AS INT) AS first_px
+FROM (SELECT doc_id, w, h, unnest(range(n_frames)) AS i FROM vids) v
+JOIN sums s USING (doc_id)"""
     sql["multimodal_soundness"] = """
 SELECT CAST(NULL AS BIGINT) AS media_id, CAST(NULL AS INT) AS n_feat,
        CAST(NULL AS DOUBLE) AS sum_feat WHERE 1 = 0"""

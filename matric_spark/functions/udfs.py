@@ -132,3 +132,31 @@ def make_centroid_probe_udf(centroids: "np.ndarray", nprobe: int):
         return _scatter(list(cells), mask, len(v))
 
     return probe
+
+
+# DataType objects (not DDL strings) so the decorators bind at import
+# time without an active SparkSession
+from pyspark.sql.types import IntegerType as _IntT  # noqa: E402
+from pyspark.sql.types import LongType as _LongT  # noqa: E402
+
+
+@pandas_udf(_LongT())
+def byte_checksum(payload: pd.Series) -> pd.Series:
+    """Sum of the raw uint8 bytes of a binary column (NULL-safe). The
+    value probe for decoded-media gates: each payload is one numpy
+    buffer-sum, batch iterated via pandas map (the per-element work is a
+    single vectorized reduction, not per-byte Python)."""
+    return payload.map(
+        lambda b: None
+        if b is None
+        else int(np.frombuffer(b, dtype=np.uint8).sum())
+    ).astype("Int64")
+
+
+@pandas_udf(_IntT())
+def first_byte(payload: pd.Series) -> pd.Series:
+    """First raw byte of a binary column as an int (NULL-safe; NULL for
+    empty payloads) — the position-sensitive twin of byte_checksum."""
+    return payload.map(
+        lambda b: None if not b else int(b[0])
+    ).astype("Int32")

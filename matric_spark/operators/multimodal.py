@@ -2,10 +2,18 @@
 metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched `mapInPandas` pipelines.
 
-The decode step itself is STUBBED (no media libs in this container):
-`decoder="fake"` produces a deterministic ndarray from the payload hash
-(so every downstream op is fully testable), `decoder="pillow"`/"ffmpeg"
-raise NotImplementedError at the exact point a real decoder plugs in.
+Decoders:
+- `decoder="bmp"` is a REAL decoder: a dependency-free pure-numpy
+  parser/encoder for the public Windows BMP format (BITMAPFILEHEADER +
+  BITMAPINFOHEADER, 8-bit uncompressed with palette — bottom-up or
+  top-down, 4-byte row padding). Payloads are genuine container bytes;
+  the decode path exercises real header parsing, stride handling and
+  palette mapping, and round-trips through `encode_bmp`/`decode_bmp`.
+- `decoder="fake"` produces a deterministic ndarray from the payload
+  hash (the hash-stub kept for synthetic payloads that aren't BMP).
+- `decoder="pillow"`/"ffmpeg" raise NotImplementedError at the exact
+  point a full codec library plugs in (JPEG/video containers are out of
+  scope for this container).
 Everything Spark-side is real and load-bearing:
 
 - schema: MEDIA_SCHEMA below; payload stays binary end-to-end, metadata
@@ -47,11 +55,95 @@ def _fake_decode(payload: bytes, width: int, height: int):
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
+def encode_bmp(px) -> bytes:
+    """Encode an HxW uint8 grayscale array as a standards-conforming
+    8-bit palettized BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry
+    grayscale palette + bottom-up rows padded to 4 bytes). Pure numpy +
+    struct — no codec library. The output opens in any image viewer."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    h, w = px.shape
+    stride = (w + 3) & ~3
+    off = 14 + 40 + 256 * 4
+    img_size = stride * h
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, img_size, 2835, 2835, 256, 256
+    )
+    gray = np.arange(256, dtype=np.uint8)
+    palette = np.stack([gray, gray, gray, np.zeros(256, np.uint8)], 1)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = px[::-1]  # bottom-up
+    return file_hdr + info_hdr + palette.tobytes() + rows.tobytes()
+
+
+def decode_bmp(payload: bytes):
+    """Parse 8-bit uncompressed palettized BMP bytes into an HxW uint8
+    array: validates the magic/header, honors the pixel-data offset,
+    4-byte row stride, bottom-up vs top-down (negative height), and maps
+    indices through the palette (blue channel — for a gray palette the
+    channels agree). Raises ValueError on anything outside the supported
+    profile so a corrupt payload fails loudly, never as garbage pixels."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (bad magic/short header)")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 8 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP profile (planes={planes}, bpp={bpp}, "
+            f"compression={compression}); only 8-bit uncompressed"
+        )
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal_off = 14 + hdr_size
+    pal = np.frombuffer(
+        payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+    ).reshape(n_colors, 4)
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = (w + 3) & ~3
+    if off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, :w]
+    idx = rows if top_down else rows[::-1]
+    return pal[:, 0][idx]  # blue channel lookup
+
+
+def _decode(payload: bytes, width: int, height: int, decoder: str):
+    """Dispatch to the configured decoder; BMP results are validated
+    against the meta dims (a mismatch is a data error, not a resize)."""
+    if decoder == "fake":
+        return _fake_decode(payload, width, height)
+    if decoder == "bmp":
+        px = decode_bmp(payload)
+        if px.shape != (height, width):
+            raise ValueError(
+                f"BMP dims {px.shape} disagree with meta "
+                f"({height}, {width})"
+            )
+        return px
+    _require_real_decoder(decoder)
+
+
 def _require_real_decoder(name: str) -> None:
     raise NotImplementedError(
-        f"real decoder {name!r} is not available in this environment; "
-        "use decoder='fake' (deterministic stub) or plug a codec library "
-        "in at this call site"
+        f"decoder {name!r} is not available in this environment; use "
+        "decoder='bmp' (real pure-numpy BMP codec) or decoder='fake' "
+        "(deterministic stub), or plug a codec library in at this call "
+        "site"
     )
 
 
@@ -63,14 +155,14 @@ def image_features(
     import numpy as np
     import pandas as pd
 
-    if decoder != "fake":
+    if decoder not in ("fake", "bmp"):
         _require_real_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                px = _fake_decode(payload, meta["width"], meta["height"])
+                px = _decode(payload, meta["width"], meta["height"], decoder)
                 hist, _ = np.histogram(px, bins=dim, range=(0, 256))
                 feats.append((hist / px.size).astype(np.float32).tolist())
             yield pd.DataFrame(
@@ -85,23 +177,27 @@ def image_features(
 def resize_images(
     media: DataFrame, width: int, height: int, decoder: str = "fake"
 ) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode (stub: raw bytes).
-    Output schema == input schema with updated meta (pipeline-closed)."""
+    """Decode → nearest-neighbor resize → re-encode. With decoder="bmp"
+    the output payload is a REAL re-encoded BMP (pipeline-closed: the
+    resized rows decode again); the fake decoder emits raw bytes.
+    Output schema == input schema with updated meta."""
     import numpy as np
     import pandas as pd
 
-    if decoder != "fake":
+    if decoder not in ("fake", "bmp"):
         _require_real_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_meta = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                px = _fake_decode(payload, meta["width"], meta["height"])
+                px = _decode(payload, meta["width"], meta["height"], decoder)
                 yi = (np.arange(height) * meta["height"] // height).clip(0, meta["height"] - 1)
                 xi = (np.arange(width) * meta["width"] // width).clip(0, meta["width"] - 1)
                 small = px[np.ix_(yi, xi)]
-                out_payload.append(small.tobytes())
+                out_payload.append(
+                    encode_bmp(small) if decoder == "bmp" else small.tobytes()
+                )
                 out_meta.append(
                     {**{k: meta[k] for k in meta.keys()}, "width": width, "height": height}
                 )
@@ -122,10 +218,18 @@ def sample_frames(
 ) -> DataFrame:
     """Video → one row per sampled frame (media_id, frame_idx, ts_ms,
     payload). Fan-out happens inside the Arrow batch, so a long video
-    never materializes as a Python list on the driver."""
+    never materializes as a Python list on the driver.
+
+    Frame semantics per decoder: "bmp" decodes the payload as the real
+    container (a BMP poster frame standing in for a video stream — the
+    frame-sampling plumbing is identical for a true codec) and derives
+    frame i as the poster rolled down by i rows (deterministic, so the
+    decoded pixel values stay closed-form checkable); "fake" hashes
+    (payload, ts) as before."""
+    import numpy as np
     import pandas as pd
 
-    if decoder != "fake":
+    if decoder not in ("fake", "bmp"):
         _require_real_decoder(decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,12 +238,20 @@ def sample_frames(
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
+                poster = (
+                    _decode(payload, meta["width"], meta["height"], decoder)
+                    if decoder != "fake"
+                    else None
+                )
                 for i, ts in enumerate(range(0, meta["duration_ms"], every_ms)):
-                    px = _fake_decode(
-                        (payload or b"") + ts.to_bytes(4, "little"),
-                        meta["width"],
-                        meta["height"],
-                    )
+                    if poster is not None:
+                        px = np.roll(poster, -i, axis=0)
+                    else:
+                        px = _fake_decode(
+                            (payload or b"") + ts.to_bytes(4, "little"),
+                            meta["width"],
+                            meta["height"],
+                        )
                     ids.append(mid)
                     idxs.append(i)
                     tss.append(ts)
@@ -219,6 +331,39 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         ),
         meta.alias("meta"),
     )
+
+
+def bmp_media_from_documents(docs: DataFrame) -> DataFrame:
+    """media_from_documents with REAL BMP payloads: identical kinds and
+    meta, but payload is a standards-conforming BMP (encode_bmp) of the
+    closed-form pixel field
+
+        px[r, c] = (media_id * 31 + r * width + c) % 256
+
+    so decoder="bmp" pipelines parse genuine container bytes while every
+    decoded pixel remains a pure arithmetic function of (media_id,
+    position) that a SQL oracle can mirror (frame checksums, first-pixel
+    probes). One Arrow pass builds the payloads; pixels exist only
+    inside the batch."""
+    import numpy as np
+    import pandas as pd
+
+    base = media_from_documents(docs).drop("payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, meta in zip(pdf["media_id"], pdf["meta"]):
+                w, h = meta["width"], meta["height"]
+                px = (
+                    (int(mid) * 31 + np.arange(w * h, dtype=np.int64)) % 256
+                ).astype(np.uint8).reshape(h, w)
+                payloads.append(encode_bmp(px))
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out[["media_id", "kind", "payload", "meta"]]
+
+    return base.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 60) -> DataFrame:
