@@ -966,10 +966,14 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     base = _scratch("graft_stream_sess_")
     incoming = f"{base}/incoming"
+    # 2 staged files x 1 file/trigger = 2 genuine micro-batches — the
+    # minimum that still exercises cross-batch state handoff (the
+    # emitted-set predicate is batch-split-independent, proven in
+    # tests/test_streaming.py, so batch count is pure overhead beyond 2)
     stage_time_ordered(
         ev.select("event_id", "ts", "user_id", "event_type", "value", "props"),
         incoming,
-        n_files=3,
+        n_files=2,
     )
     sess = stream_sessionize(
         stream_events(spark, incoming), gap_minutes=30, watermark="2 hours"

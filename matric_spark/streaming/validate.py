@@ -124,6 +124,20 @@ def validated_stream(
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # four state appends below = four separate jobs over this
+        # micro-batch; persist once so the batch source (and any
+        # upstream projection) is scanned a single time instead of four
+        # — at bench scale this is most of the per-batch fixed cost
+        # beyond the constraint suite itself
+        from pyspark import StorageLevel
+
+        batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _process_persisted(batch, batch_id)
+        finally:
+            batch.unpersist(blocking=False)
+
+    def _process_persisted(batch: DataFrame, batch_id: int) -> None:
         run_id = f"stream-{batch_id}"
         scalar = scalar_check_metrics(batch, cfg)
         seq = (
