@@ -323,12 +323,15 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH recall misses are inherent → no exact oracle (rows-only check);
-    # recall vs the exact variant is differential-tested in pytest.
-    # The testdata embeddings are near-random (max cosine ~0.5), so this
-    # entry uses the low-threshold parametrization (16 bands × 8 bits =
-    # 128 planes); production near-dup (threshold ≥ 0.9) uses the
-    # 12 × 16 default — see embedding_near_dup_lsh's docstring.
+    # FULL value-hash oracle (promoted from rows-only in round 5): the
+    # LSH pipeline is deterministic — fixed-LCG planes, integer band
+    # values, exact-cosine verify — so recall misses must be IDENTICAL
+    # across engines; duck_oracle.embedding_near_dup_lsh_sql replays the
+    # same planes (sign-margin analysis in its docstring). The testdata
+    # embeddings are near-random (max cosine ~0.5), so this entry uses
+    # the low-threshold parametrization (16 bands × 8 bits = 128
+    # planes); production near-dup (threshold ≥ 0.9) uses the 12 × 16
+    # default — see embedding_near_dup_lsh's docstring.
     from matric_spark.operators.ann import embedding_near_dup_lsh
 
     return _round6(
@@ -1413,9 +1416,15 @@ def q_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_signif(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # permutation nulls are seeded-numpy — deterministic but not
-    # SQL-reproducible → no oracle (rows-only); properties tested in
-    # tests/test_signif.py (monotonicity, determinism, extremes).
+    # Rows-only BY NECESSITY (unlike emb_near_dup_lsh, which graduated
+    # to a full oracle): the permutation nulls draw from numpy's PCG64
+    # bit stream (np.random.default_rng([seed, m, n]).random(...)
+    # .argsort, signif.ap_null_samples) — deterministic per cell, but a
+    # SQL mirror would have to reimplement SeedSequence entropy-mixing +
+    # the PCG64 generator bit-for-bit, which DuckDB cannot express.
+    # Value coverage comes from the gated twin `signif_monotonic`
+    # (p-law bin + add-one smoothing + monotonicity as an empty-set
+    # oracle) and tests/test_signif.py (determinism, extremes).
     from matric_spark.operators.signif import attach_ap_pvalues
 
     stat = "sim_retrieval_average_precision_non_rep_i"
@@ -2553,6 +2562,9 @@ SELECT part, 'volume_delta', delta_pct,
     sql["dedup_simhash"] = dk.simhash_pairs_sql(12)
     sql["dedup_incremental"] = dk.minhash_lsh_cross_sql(0.1, "doc_id % 5 = 0")
     sql["emb_near_dup"] = dk.embedding_near_dup_sql(0.4)
+    sql["emb_near_dup_lsh"] = dk.embedding_near_dup_lsh_sql(
+        dim=64, threshold=0.4, n_bands=16, band_bits=8
+    )
     sql["ann_topk"] = dk.ann_topk_sql(5, 10)
     # dedup_exact_text runs on the shared transcript view
     norm = dk.NORM.format(col="text")
@@ -2560,12 +2572,16 @@ SELECT part, 'volume_delta', delta_pct,
 SELECT {dk.hexbig(norm)} AS content_fp, CAST(count(*) AS BIGINT) AS n_dups
 FROM transcripts WHERE text IS NOT NULL
 GROUP BY 1 HAVING count(*) > 1"""
-    # emb_near_dup_lsh / ann_topk_ivf: intentionally no EXACT oracle (LSH/
-    # IVF recall is probabilistic); each instead has a gated SOUNDNESS
-    # companion below (empty violation set ≡ empty oracle) + a pytest
-    # recall bound. check_oracle.py additionally runs a containment oracle
-    # for both rows-only entries (lsh rows ⊆ duckdb exact; ivf cosines ≡
-    # duckdb recomputed, ≤k per qid).
+    # emb_near_dup_lsh now carries a FULL value-hash oracle (the
+    # deterministic plane/band replay above). ann_topk_ivf remains
+    # rows-only: its probe set depends on the spherical-k-means
+    # centroids, and a SQL mirror would have to replay the Lloyd
+    # iterations' float averages iteration-for-iteration (argmax cell
+    # assignments sit on data-dependent margins, unlike the LSH sign
+    # bits) — it keeps the gated SOUNDNESS companion below (empty
+    # violation set ≡ empty oracle) + a pytest recall bound, and
+    # check_oracle.py additionally runs a containment oracle (ivf
+    # cosines ≡ duckdb recomputed, ≤k per qid).
     sql["emb_lsh_soundness"] = """
 SELECT CAST(NULL AS BIGINT) AS id1, CAST(NULL AS BIGINT) AS id2,
        CAST(NULL AS DOUBLE) AS cosine WHERE 1 = 0"""

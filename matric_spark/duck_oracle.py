@@ -452,6 +452,66 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) >= {threshold}"""
 
 
+def embedding_near_dup_lsh_sql(
+    dim: int = 64,
+    threshold: float = 0.4,
+    n_bands: int = 16,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> str:
+    """Full value-hash mirror of ann.embedding_near_dup_lsh — the LSH
+    pipeline is deterministic end to end, so "recall misses are
+    inherent" does NOT preclude an oracle: both engines must miss the
+    SAME pairs. The hyperplanes come from the fixed LCG
+    (ann._lcg_planes, seeded), inlined here as double literals (repr
+    round-trips exactly); a sign bit is scale-invariant, so the oracle
+    reads it from the RAW embedding dot (one sequential
+    list_dot_product per (vector, plane)) while Spark's Arrow UDF uses
+    a normalized-matrix matmul — the decisions agree because the
+    testdata's minimum |normalized dot| margin is ~2.7e-6 across sf0.001
+    /0.01/0.1 (measured) vs ~1e-15 float64 summation slop, nine orders
+    of headroom (verified as part of promoting this entry; a corpus
+    with adversarially axis-orthogonal vectors would need integer-lift
+    planes instead). Band values are exact integers; candidates are the
+    distinct (band_idx, band_val) equi-join; verification reuses the
+    exact normalized cosine of embedding_near_dup_sql (already
+    bit-stable vs Spark's sequential fold)."""
+    from matric_spark.operators.ann import _lcg_planes
+
+    planes = _lcg_planes(n_bands * band_bits, dim, seed=seed)
+    rows = ",\n".join(
+        f"({p}, [{', '.join(repr(w) for w in plane)}])"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH {_NORM_E},
+wl(p, pw) AS (VALUES
+{rows}),
+nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE embedding IS NOT NULL
+         AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+sigs AS (
+    SELECT vec_id, p // {band_bits} AS band_idx,
+           SUM(CASE WHEN list_dot_product(nz.v, wl.pw) >= 0
+                    THEN CAST(1 AS BIGINT) << (p % {band_bits})
+                    ELSE 0 END) AS band_val
+    FROM nz CROSS JOIN wl
+    GROUP BY vec_id, p // {band_bits}
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+    FROM sigs x JOIN sigs y
+      ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+    WHERE x.vec_id < y.vec_id
+)
+SELECT c.id1, c.id2,
+       (round(list_dot_product(a.v, b.v), 6) + 0) AS cosine
+FROM cand c
+JOIN e a ON a.vec_id = c.id1
+JOIN e b ON b.vec_id = c.id2
+WHERE list_dot_product(a.v, b.v) >= CAST({threshold} AS DOUBLE)"""
+
+
 # matric-parity sim suite ---------------------------------------------------
 
 _POP = """

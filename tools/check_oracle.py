@@ -234,9 +234,11 @@ def main() -> int:
         sp = fn(spark, sf_dir).toPandas()
         spark.catalog.clearCache()  # release per-query persist()s
         t1 = time.time()
+        # emb_near_dup_lsh graduated to a FULL value-hash oracle_sql
+        # (deterministic plane replay) in round 5, so it goes through
+        # the standard compare path below, not a special-case check
         special = {
             "sketch_stats": ("bounds oracle", check_sketch_bounds),
-            "emb_near_dup_lsh": ("containment oracle", check_lsh_containment),
             "ann_topk_ivf": ("containment oracle", check_ivf_containment),
         }
         if name in special:
