@@ -43,6 +43,7 @@ def connected_components(
     max_rounds: int = 50,
     strategy: str = "auto",
     local_threshold: int = 200_000,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Resolve an undirected pair list into components.
 
@@ -62,15 +63,25 @@ def connected_components(
     of the corpus — while anything larger runs the distributed
     label-propagation loop. 'distributed' / 'local' force a path; both
     are differential-tested equal.
+
+    `materialize_edges=True` (default) eagerly localCheckpoints the edge
+    list before anything else — right when `pairs` is an expensive
+    derived pipeline (shingle joins, LSH), wrong when the caller would
+    have pruned/sampled it or already holds a materialized relation.
+    Pass False for a pre-materialized (or cheap) pair list: no eager
+    evaluation is forced up front; the plan is then evaluated lazily by
+    the strategy probe plus the collect (local path) or the sym/labels
+    checkpoint seeds (distributed path) — 2-3 cheap re-reads of an
+    already-materialized relation instead of one forced full build.
     """
     id_type = pairs.schema[src].dataType.simpleString()
     # materialize the edge list ONCE: upstream pair generation is
     # typically an expensive dedup pipeline (shingle joins, LSH), and
     # both the strategy decision and every propagation round would
     # otherwise re-evaluate it from scratch per action
-    e = pairs.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint(eager=True)
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if materialize_edges:
+        e = e.localCheckpoint(eager=True)
     if strategy == "auto":
         n_edges = e.count()  # cheap: counts the checkpointed relation
         strategy = "local" if n_edges <= local_threshold else "distributed"

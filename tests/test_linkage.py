@@ -416,3 +416,26 @@ def test_emb_dedup_clusters_composition(spark):
     assert out[0] == (0, 3) and out[1] == (0, 3) and out[2] == (0, 3)
     assert out[10] == (10, 2) and out[11] == (10, 2)
     assert 20 not in out  # pairless vectors are absent, not singletons
+
+
+def test_connected_components_unmaterialized_edges(spark):
+    """materialize_edges=False must produce identical components on both
+    strategies (the opt-out exists for callers holding pre-materialized
+    or deliberately pruned pair lists — review note r4)."""
+    from matric_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "id1 long, id2 long"
+    )
+    want = {
+        tuple(r)
+        for r in connected_components(pairs).collect()
+    }
+    for strat in ("local", "distributed"):
+        got = {
+            tuple(r)
+            for r in connected_components(
+                pairs, strategy=strat, materialize_edges=False
+            ).collect()
+        }
+        assert got == want, strat
