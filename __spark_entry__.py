@@ -1975,8 +1975,9 @@ def queries_manifest() -> dict[str, dict[str, str]]:
       'expensive' (>=5 s), from the recorded bench runs.
     - oracle: 'sql' = full DuckDB value-hash gate via oracle_sql();
       'rows_only' = deliberate omission (seeded permutation nulls,
-      LSH/IVF recall, sketch point values — each has a gated
-      soundness/invariant twin, see README).
+      IVF centroid replay, sketch point values — each has a gated
+      soundness/invariant twin, see README; hyperplane LSH graduated
+      to 'sql' in round 5 via deterministic plane replay).
     """
     families = {
         "sim": "sim_suite", "dedup": "dedup", "emb": "embeddings",
