@@ -1686,7 +1686,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding, bottom-up rows) of the closed-form pixel field
     (media_id*31 + pos) % 256; sample_frames(decoder="bmp") PARSES them
     (multimodal.decode_bmp, pure numpy — no codec stub in this path) and
-    derives frame i as the poster rolled down i rows. The DuckDB oracle
+    derives frame i as the poster rolled UP i rows (np.roll(poster, -i)
+    — row i becomes the top row). The DuckDB oracle
     mirrors the fan-out AND the decoded pixels in closed form:
     n_bytes = width*height, checksum = Σ (media_id*31+j) % 256 over all
     pixels (roll-invariant), first_px = (media_id*31 + (i%h)*w) % 256

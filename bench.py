@@ -26,6 +26,26 @@ def run_once(fn, spark, sf_dir) -> float:
     return time.time() - t0
 
 
+def setup_transcripts(spark, sf_dir: str) -> str:
+    """Materialize the derived transcript table to partitioned parquet
+    once and point SPARK_GRAFT_TRANSCRIPTS_PARQUET at it — the shared
+    prelude for every measurement harness (bench.py,
+    tools/adjudicate_bench.py), kept in ONE place so the materialization
+    contract (partition column, env var) cannot drift between them. In
+    production this table EXISTS as Iceberg storage; locally it derives
+    from lineitem⋈orders, and without materializing every query would
+    re-run that derivation join. Parquet (vs .cache()) keeps column
+    pruning, predicate pushdown, and AQE on the read side — the plan
+    shape a real table gives. Returns the parquet path."""
+    import __spark_entry__ as e
+    from matric_spark.sources.transcripts_view import transcript_df
+
+    mat = os.path.join(e._scratch("graft_bench_"), "transcripts")
+    transcript_df(spark, sf_dir).write.partitionBy("part_month").parquet(mat)
+    os.environ["SPARK_GRAFT_TRANSCRIPTS_PARQUET"] = mat
+    return mat
+
+
 def _bus_ceiling() -> tuple[float | None, float | None]:
     """Concurrent memory-bus grant stamp (tools/scaling_bench's
     calibration probe): (ceiling ratio, absolute 2-way stream seconds).
@@ -92,15 +112,7 @@ def main() -> None:
     ceiling_pre, stream_pre = _bus_ceiling()
     spark = get_spark(app_name="matric_spark_bench")
 
-    # Materialize the transcript table to parquet once. In production this
-    # table EXISTS as Iceberg storage; locally it is derived from
-    # lineitem⋈orders, and without materializing every query would re-run
-    # that derivation join. Parquet (vs .cache()) keeps column pruning,
-    # predicate pushdown, and AQE on the read side — the same plan shape a
-    # real table gives. Partitioned by part_month like the production table.
-    mat = os.path.join(e._scratch("graft_bench_"), "transcripts")
-    transcript_df(spark, sf_dir).write.partitionBy("part_month").parquet(mat)
-    os.environ["SPARK_GRAFT_TRANSCRIPTS_PARQUET"] = mat
+    setup_transcripts(spark, sf_dir)
 
     t = transcript_df(spark, sf_dir)
     n_turns = t.count()  # also warms the JVM/scan path

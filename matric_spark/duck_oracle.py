@@ -475,7 +475,13 @@ def embedding_near_dup_lsh_sql(
     planes instead). Band values are exact integers; candidates are the
     distinct (band_idx, band_val) equi-join; verification reuses the
     exact normalized cosine of embedding_near_dup_sql (already
-    bit-stable vs Spark's sequential fold)."""
+    bit-stable vs Spark's sequential fold). NaN-bearing embeddings are
+    excluded explicitly with isnan(): DuckDB orders NaN above every
+    value (NaN > 0 and NaN >= t are TRUE), while Spark's _normalized
+    drops NaN-norm rows — without the guard the oracle would emit
+    phantom all-bits-set signatures and NaN-cosine pairs (a
+    CLAUDE.md-class parity trap, latent because the testdata has no NaN
+    embeddings)."""
     from matric_spark.operators.ann import _lcg_planes
 
     planes = _lcg_planes(n_bands * band_bits, dim, seed=seed)
@@ -489,6 +495,8 @@ wl(p, pw) AS (VALUES
 {rows}),
 nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        WHERE embedding IS NOT NULL
+         AND NOT isnan(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))
          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 sigs AS (
     SELECT vec_id, p // {band_bits} AS band_idx,

@@ -68,11 +68,14 @@ def connected_components(
     list before anything else — right when `pairs` is an expensive
     derived pipeline (shingle joins, LSH), wrong when the caller would
     have pruned/sampled it or already holds a materialized relation.
-    Pass False for a pre-materialized (or cheap) pair list: no eager
-    evaluation is forced up front; the plan is then evaluated lazily by
-    the strategy probe plus the collect (local path) or the sym/labels
-    checkpoint seeds (distributed path) — 2-3 cheap re-reads of an
-    already-materialized relation instead of one forced full build.
+    Pass False ONLY for a pair list that is pre-materialized (or cheap)
+    AND deterministic under re-evaluation: the plan is then evaluated
+    independently by the strategy probe plus the collect (local path)
+    or the sym/labels checkpoint seeds (distributed path) — 2-3 cheap
+    re-reads of a stored relation instead of one forced full build. A
+    nondeterministic source (sample(), LIMIT over an unordered relation)
+    could present different edge sets to those evaluations and corrupt
+    the labeling — keep the default for anything not re-read-stable.
     """
     id_type = pairs.schema[src].dataType.simpleString()
     # materialize the edge list ONCE: upstream pair generation is
@@ -83,7 +86,9 @@ def connected_components(
     if materialize_edges:
         e = e.localCheckpoint(eager=True)
     if strategy == "auto":
-        n_edges = e.count()  # cheap: counts the checkpointed relation
+        # counts the checkpointed relation (cheap) — or, with
+        # materialize_edges=False, evaluates the caller's plan once
+        n_edges = e.count()
         strategy = "local" if n_edges <= local_threshold else "distributed"
     if strategy == "local":
         return _local_components(pairs.sparkSession, e.collect(), id_type)

@@ -223,7 +223,8 @@ def sample_frames(
     Frame semantics per decoder: "bmp" decodes the payload as the real
     container (a BMP poster frame standing in for a video stream — the
     frame-sampling plumbing is identical for a true codec) and derives
-    frame i as the poster rolled down by i rows (deterministic, so the
+    frame i as the poster rolled UP by i rows — np.roll(poster, -i):
+    row i becomes the top row (deterministic, so the
     decoded pixel values stay closed-form checkable); "fake" hashes
     (payload, ts) as before."""
     import numpy as np

@@ -98,14 +98,19 @@ def _csv_components(path: str) -> tuple[str, str, str]:
 def _iceberg_tables(path: str) -> tuple[str, str, str]:
     """Map `path` to (namespace, pairs_table, metadata_table).
 
-    A dotted identifier ('graft.db.mysim') is used as the table base
+    A FULLY-QUALIFIED dotted identifier ('graft.db.mysim' —
+    catalog.namespace.name, >= 3 segments) is used as the table base
     directly; anything else (a filesystem-ish path, so sim_write/sim_read
     keep ONE signature across backends) derives a deterministic
     namespace in the `graft` hadoop catalog the same way state.StateStore
-    does (sha256-prefix of the normalized path)."""
+    does (sha256-prefix of the normalized path). Two-segment names are
+    deliberately NOT treated as identifiers: 'db.mysim' would resolve
+    against the session default catalog (spark_catalog, not
+    Iceberg-capable here) and lose the atomic-swap guarantee the
+    docstring promises — they fall through to the path derivation."""
     import re
 
-    if re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)+", path):
+    if re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+){2,}", path):
         base = path
     else:
         import hashlib

@@ -98,19 +98,28 @@ def _masked_avg_ranks(x, m):
     what R computes on the compacted subvector (positions of the
     invalid tail don't disturb 1..n_valid).
 
-    Vectorization: stable argsort per row → tie-group ids via value
-    changes → per-group average of 1..d using one flat bincount (rows
-    offset so groups never collide) → scatter back through the sort
-    permutation.
+    Vectorization: stable two-key lexsort per row (validity first, so a
+    legitimate +inf VALUE can never tie with a masked slot — an inf
+    sentinel would merge them and silently mis-rank inf-bearing rows) →
+    tie-group ids via value-or-validity changes → per-group average of
+    1..d using one flat bincount (rows offset so groups never collide)
+    → scatter back through the sort permutation.
     """
     import numpy as np
 
     n, d = x.shape
-    big = np.where(m, x, np.inf)
-    order = np.argsort(big, axis=1, kind="stable")
-    sv = np.take_along_axis(big, order, axis=1)
+    inv = ~m
+    xv = np.where(m, x, 0.0)  # invalid values are irrelevant post-sort
+    # primary key: validity (valid first); secondary: value — stable
+    order = np.lexsort((xv, inv), axis=1)
+    sv = np.take_along_axis(xv, order, axis=1)
+    svm = np.take_along_axis(inv, order, axis=1)
     newgrp = np.ones((n, d), dtype=bool)
-    newgrp[:, 1:] = sv[:, 1:] != sv[:, :-1]
+    newgrp[:, 1:] = (
+        (sv[:, 1:] != sv[:, :-1])
+        | (svm[:, 1:] != svm[:, :-1])
+        | svm[:, 1:]  # every masked slot is its own (discarded) group
+    )
     gid = np.cumsum(newgrp, axis=1)  # 1..d, per row
     flat = (gid + (np.arange(n) * (d + 1))[:, None]).ravel()
     pos = np.broadcast_to(np.arange(1, d + 1, dtype=np.float64), (n, d)).ravel()

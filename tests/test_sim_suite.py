@@ -675,3 +675,33 @@ def test_kendall_complete_matches_r_semantics_with_nans(spark):
             assert sim is None or math.isnan(sim), (i, j, sim)
         else:
             assert sim == pytest.approx(want, abs=1e-12), (i, j)
+
+
+def test_masked_avg_ranks_inf_values():
+    """A legitimate +inf VALUE must not tie with masked slots (review
+    finding r5: an inf sentinel merged them) — ranks on the compacted
+    support must match pandas exactly, inf included."""
+    import numpy as np
+
+    from matric_spark.operators.sparse import _masked_avg_ranks
+
+    inf, nan = np.inf, np.nan
+    x = np.array(
+        [
+            [1.0, inf, 2.0, 7.0],    # valid inf + a masked slot
+            [inf, inf, 3.0, nan],    # two valid infs tie with each other
+            [-inf, 1.0, nan, inf],   # -inf sorts first, +inf last
+        ]
+    )
+    m = np.array(
+        [
+            [True, True, True, False],
+            [True, True, True, False],
+            [True, True, False, True],
+        ]
+    )
+    got = _masked_avg_ranks(x, m)
+    for i in range(x.shape[0]):
+        want = _r_rank_avg(x[i][m[i]])
+        np.testing.assert_allclose(got[i][m[i]], want, err_msg=str(i))
+        assert np.isnan(got[i][~m[i]]).all()

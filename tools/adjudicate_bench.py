@@ -56,17 +56,12 @@ def main() -> None:
     else:
         pre = _stream_ceiling(2, 8)
 
-    from bench import run_once
+    from bench import run_once, setup_transcripts
     import __spark_entry__ as e
     from matric_spark.session import get_spark
-    from matric_spark.sources.transcripts_view import transcript_df
 
     spark = get_spark(app_name="matric_spark_adjudicate")
-    mat = os.path.join(e._scratch("graft_adj_"), "transcripts")
-    transcript_df(spark, args.sf_dir).write.partitionBy(
-        "part_month"
-    ).parquet(mat)
-    os.environ["SPARK_GRAFT_TRANSCRIPTS_PARQUET"] = mat
+    setup_transcripts(spark, args.sf_dir)
 
     qs = e.queries()
     names = [n for pair in zip(SUSPECTS, CONTROLS) for n in pair]

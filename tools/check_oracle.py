@@ -149,31 +149,6 @@ FROM transcripts GROUP BY 1"""
     return ok
 
 
-def check_lsh_containment(sp: pd.DataFrame, con) -> bool:
-    """Containment (soundness) oracle for the rows-only LSH entry: every
-    emitted pair must appear in DuckDB's exact near-dup result with a
-    byte-identical 6dp cosine. Recall is probabilistic and stays
-    un-gated (pytest bound); precision is not — this closes it."""
-    from matric_spark import duck_oracle as dk
-
-    exact = con.execute(dk.embedding_near_dup_sql(0.4)).fetch_df()
-    merged = sp.merge(exact, on=["id1", "id2"], how="left", suffixes=("", "_ex"))
-    missing = merged["cosine_ex"].isna()
-    import numpy as np
-
-    sp_bits = merged["cosine"].to_numpy("float64").view("uint64")
-    ex_bits = merged["cosine_ex"].fillna(0.0).to_numpy("float64").view("uint64")
-    bad = missing | ((sp_bits != ex_bits) & ~missing)
-    if bad.any():
-        print(
-            f"  [emb_near_dup_lsh] CONTAINMENT violated: {int(bad.sum())}/{len(sp)} "
-            f"rows not in exact set with identical cosine, e.g. "
-            f"{merged[bad].head(3).to_dict('records')}"
-        )
-        return False
-    return True
-
-
 def check_ivf_containment(sp: pd.DataFrame, con, k: int = 5) -> bool:
     """Containment oracle for the rows-only IVF entry: emitted cosines
     must equal DuckDB's recomputed exact cosines byte-for-byte (6dp),
