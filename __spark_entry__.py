@@ -1701,7 +1701,10 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from matric_spark.functions.udfs import byte_checksum, first_byte
 
-    media = bmp_media_from_documents(_docs(spark, sf_dir))
+    # kind pre-filter: only videos reach the Python encode pass (the
+    # post-hoc kind filter inside sample_frames cannot reach back
+    # through mapInPandas — 3x needless encode work otherwise)
+    media = bmp_media_from_documents(_docs(spark, sf_dir), kind="video")
     frames = sample_frames(media, every_ms=1000, decoder="bmp")
     # checksum/first_px read the decoded frame BYTES (Arrow-vectorized
     # buffer sums), so the gate checks what the decoder actually
@@ -1731,8 +1734,8 @@ def q_multimodal_soundness(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_features,
     )
 
-    media = bmp_media_from_documents(_docs(spark, sf_dir))
-    images = media.filter(F.col("kind") == "image").select("media_id")
+    media = bmp_media_from_documents(_docs(spark, sf_dir), kind="image")
+    images = media.select("media_id")
     checked = image_features(media, decoder="bmp").select(
         "media_id",
         F.size("features").alias("n_feat"),
